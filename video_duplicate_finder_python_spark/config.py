@@ -1,0 +1,62 @@
+"""Frozen pipeline configuration.
+
+Defaults mirror the reference's knobs where one exists:
+- ``jaccard_threshold=0.8`` ≙ the reference's default similarity threshold
+  (/root/reference/src/core/scanner.py:20, GUI range 0.5–1.0 at
+  /root/reference/src/gui/main_window.py:57-58).
+- 128 permutations split into 16 bands × 8 rows is the principled
+  generalization of the reference's md5[:8] exact-signature bucketing
+  (/root/reference/src/core/comparator.py:52-63): the band S-curve puts the
+  50%-collision point near Jaccard (1/16)^(1/8) ≈ 0.71, i.e. pairs at the
+  0.8 verification threshold collide in ≥1 band with p ≈ 0.95+ and the
+  exact-duplicate groups the reference actually finds collide with p = 1.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+from hashlib import blake2b
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- shingling / MinHash (signature stage, SURVEY O2) ---
+    shingle_k: int = 5              # words per shingle
+    num_perm: int = 128             # MinHash permutations
+    bands: int = 16                 # LSH bands (b)
+    rows_per_band: int = 8          # rows per band (r); b*r == num_perm
+    jaccard_threshold: float = 0.8  # verification threshold (SURVEY O8)
+
+    # --- SimHash (secondary candidate source) ---
+    simhash_bits: int = 64
+    simhash_hamming_max: int = 3    # pairs kept if popcount(xor) <= this
+    simhash_chunks: int = 4         # pigeonhole chunks; guarantees recall
+                                    # for hamming <= simhash_chunks - 1
+
+    # --- substring pass (content-defined-chunk fingerprints) ---
+    substring_min_len: int = 500    # verbatim span length that must be caught
+    cdc_window: int = 48            # rolling-hash window (chars)
+    cdc_mask_bits: int = 6          # anchor if low bits == 0 → E[chunk] = 64
+    cdc_min_chunk: int = 24         # drop chunks shorter than this
+
+    # --- skew handling (SURVEY §4: reference has none) ---
+    max_bucket_size: int = 256      # LSH buckets larger than this are capped
+                                    # (exact dups are collapsed upstream, so
+                                    # an over-cap bucket is a hash-skew trap,
+                                    # not lost recall; drops are counted)
+
+    # --- determinism ---
+    seed: int = 42
+
+    # --- parallelism hints ---
+    shuffle_partitions: int = 32
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError("bands * rows_per_band must equal num_perm")
+
+    def config_hash(self) -> str:
+        """Stable fingerprint used to invalidate stage checkpoints."""
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return blake2b(payload, digest_size=8).hexdigest()

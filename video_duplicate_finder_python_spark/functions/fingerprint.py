@@ -1,0 +1,82 @@
+"""Content-defined-chunk (CDC) fingerprints for the substring pass.
+
+The north rule requires catching long *verbatim substring* duplicates that
+shingle-LSH misses (a 500-char span inside an otherwise-unique page moves
+whole-doc Jaccard far below threshold). A per-partition suffix array has a
+cross-partition recall hole; instead we use content-defined chunking
+(the winnowing/fingerprinting idea of Schleimer et al., MOSS; also used by
+rsync/LBFS): chunk boundaries are chosen by the *content* (a rolling hash
+over the last ``window`` bytes hitting a mask), so two documents sharing a
+verbatim span of length L cut that span at identical positions regardless
+of where the span sits in each document. With E[chunk] = 2^mask_bits = 64
+bytes, a 500-char shared span contains ≥1 complete common chunk with
+probability ≈ 1 - (switching failure only when the span holds < 1 full
+chunk, vanishing for L ≥ ~3·E[chunk]).
+
+Candidate generation is then a plain groupBy on chunk fingerprints —
+embarrassingly parallel, no cross-partition coordination. Verification
+(exact longest-common-substring ≥ L) happens downstream (lcs.py).
+
+Everything is NumPy over Arrow batches; the rolling hash is ``window``
+vectorized multiply-adds per document, not a per-character Python loop.
+"""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_BASE = np.uint64(1099511628211)  # FNV prime as polynomial base
+
+
+def _rolling_hashes(data: np.ndarray, window: int) -> np.ndarray:
+    """H[i] = sum_j data[i+j] * BASE^(window-1-j) (mod 2^64), vectorized."""
+    n = data.shape[0]
+    out = np.zeros(n - window + 1, dtype=np.uint64)
+    pw = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for j in range(window - 1, -1, -1):
+            out += data[j : j + n - window + 1].astype(np.uint64) * pw
+            pw = pw * _BASE
+    return out
+
+
+def cdc_fingerprints(
+    text: str | None,
+    window: int = 48,
+    mask_bits: int = 6,
+    min_chunk: int = 24,
+) -> list[int]:
+    """Distinct 64-bit fingerprints of the content-defined chunks of ``text``."""
+    if text is None:
+        return []
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    n = data.shape[0]
+    if n < window:
+        return []
+    mask = np.uint64((1 << mask_bits) - 1)
+    hashes = _rolling_hashes(data, window)
+    # cut AFTER the window that hit the mask: boundary at i + window
+    cuts = np.flatnonzero((hashes & mask) == 0) + window
+    bounds = [0, *cuts.tolist(), n]
+    raw = bytes(data)
+    fps = {
+        int.from_bytes(
+            blake2b(raw[lo:hi], digest_size=8).digest(), "big", signed=True
+        )
+        for lo, hi in zip(bounds, bounds[1:])
+        if hi - lo >= min_chunk
+    }
+    return sorted(fps)
+
+
+def cdc_fingerprints_udf(window: int, mask_bits: int, min_chunk: int):
+    @F.pandas_udf(T.ArrayType(T.LongType(), False))
+    def _udf(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: cdc_fingerprints(t, window, mask_bits, min_chunk))
+
+    return _udf

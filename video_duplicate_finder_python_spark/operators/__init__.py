@@ -1,0 +1,15 @@
+from .exact import exact_duplicate_groups
+from .lsh import minhash_band_candidates
+from .simhash_candidates import simhash_candidates
+from .substring import substring_candidates
+from .verify import verify_candidates
+from .connected_components import connected_components
+
+__all__ = [
+    "exact_duplicate_groups",
+    "minhash_band_candidates",
+    "simhash_candidates",
+    "substring_candidates",
+    "verify_candidates",
+    "connected_components",
+]

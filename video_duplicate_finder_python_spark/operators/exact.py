@@ -1,0 +1,42 @@
+"""Exact-duplicate collapse — linear-cost star edges, no quadratic pairs.
+
+The reference's bucket key is md5(signature)[:8], so only byte-identical
+signatures ever share a bucket (/root/reference/src/core/comparator.py:52-63
+over the md5 from hasher.py:76) — i.e. its candidate generation is really
+exact-duplicate grouping. We implement that class directly and *better*: an
+exact group of size g yields g-1 star edges to its min-url representative
+instead of g·(g-1)/2 pairs. This is also the skew kill-switch: boilerplate
+pages (the classic Common-Crawl hot key; 2% of the synthetic corpus shares
+one text) collapse to a single representative before any LSH banding, so
+the hot signature never reaches the pair-emitting self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicate_groups(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """``docs(url, text, ...)`` → ``(rep_docs, exact_edges)``.
+
+    - ``rep_docs``: one row per distinct ``content_hash`` — the min-url
+      representative, with ``url, text, content_hash, group_size``.
+    - ``exact_edges``: ``(u, v)`` star edges member → representative.
+
+    One shuffle on ``content_hash``; the follow-up join is co-partitioned.
+    """
+    hashed = docs.withColumn("content_hash", F.xxhash64("text"))
+    reps = hashed.groupBy("content_hash").agg(
+        F.min("url").alias("rep_url"), F.count(F.lit(1)).alias("group_size")
+    )
+    joined = hashed.join(reps, "content_hash")
+    rep_docs = (
+        joined.where(F.col("url") == F.col("rep_url"))
+        .drop("rep_url")
+    )
+    exact_edges = (
+        joined.where(F.col("url") != F.col("rep_url"))
+        .select(F.col("url").alias("u"), F.col("rep_url").alias("v"))
+    )
+    return rep_docs, exact_edges

@@ -1,0 +1,56 @@
+"""SimHash pigeonhole candidates + Hamming filter (secondary recall source).
+
+The web-text analog of the reference's per-frame Hamming scoring
+(/root/reference/src/core/hasher.py:110-124), done at scale: the 64-bit
+SimHash is split into ``simhash_chunks`` equal chunks; by pigeonhole, any
+pair within Hamming distance ``chunks - 1`` shares at least one exact
+chunk, so grouping on (chunk_id, chunk_value) has *guaranteed* recall for
+hamming <= 3 at 4 chunks. The exact Hamming distance is then a JVM-side
+``bit_count(a ^ b)`` — no UDF anywhere in this operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig
+from .bucket_join import bucket_pairs
+
+
+def simhash_candidates(
+    signatures: DataFrame, cfg: DedupConfig
+) -> tuple[DataFrame, DataFrame]:
+    """→ ``(pairs(url_a, url_b, hamming), dropped_metric)``."""
+    chunks = cfg.simhash_chunks
+    width = cfg.simhash_bits // chunks
+    mask = (1 << width) - 1
+    chunk_structs = [
+        F.struct(
+            F.lit(j).alias("chunk_id"),
+            F.shiftrightunsigned("simhash", j * width)
+            .bitwiseAND(F.lit(mask).cast("bigint"))
+            .alias("chunk_value"),
+        )
+        for j in range(chunks)
+    ]
+    chunked = signatures.select(
+        "url", "simhash", F.explode(F.array(*chunk_structs)).alias("_c")
+    ).select("url", "simhash", "_c.chunk_id", "_c.chunk_value")
+
+    pairs, dropped = bucket_pairs(
+        chunked,
+        key_cols=["chunk_id", "chunk_value"],
+        carry_cols=["simhash"],
+        max_bucket_size=cfg.max_bucket_size,
+    )
+    out = (
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
+        )
+        .where(F.col("hamming") <= cfg.simhash_hamming_max)
+        .select("url_a", "url_b", "hamming")
+        .dropDuplicates(["url_a", "url_b"])
+    )
+    return out, dropped

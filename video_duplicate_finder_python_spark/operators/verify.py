@@ -1,0 +1,89 @@
+"""Exact verification of candidate pairs (SURVEY O7/O8).
+
+The reference scores candidates with a weighted string-Hamming similarity
+and keeps pairs >= threshold (/root/reference/src/core/hasher.py:79-124,
+comparator.py:79-80). Here the score the north rule fixes is *exact*
+word-shingle Jaccard — computed fully JVM-side from the pre-computed
+shingle-hash arrays (``array_intersect`` / ``array_union``), plus the exact
+64-bit SimHash Hamming distance as ``bit_count(a ^ b)``. Python appears
+only on the slow path: the O(n+m) suffix-automaton LCS (functions/lcs.py)
+runs solely on substring-source candidates that *failed* the Jaccard test,
+an Arrow-batched pandas UDF over an already-small DataFrame.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DedupConfig
+from ..functions.lcs import longest_common_substring_len
+
+
+@F.pandas_udf(T.IntegerType())
+def _lcs_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [longest_common_substring_len(a or "", b or "") for a, b in zip(text_a, text_b)],
+        dtype="int32",
+    )
+
+
+def verify_candidates(
+    candidates: DataFrame,
+    signatures: DataFrame,
+    cfg: DedupConfig,
+) -> DataFrame:
+    """Score every candidate pair; flag duplicates.
+
+    ``candidates(url_a, url_b, sources: array<string>)``
+    ``signatures(url, shingles, simhash, text, ...)``
+    → ``pairs(url_a, url_b, jaccard, hamming, lcs_len, sources, is_dup)``
+
+    ``lcs_len`` is only materialized (non-null) for substring-source pairs
+    below the Jaccard threshold; other pairs never pay for it.
+    """
+    sig_a = signatures.select(
+        F.col("url").alias("url_a"),
+        F.col("shingles").alias("_sh_a"),
+        F.col("simhash").alias("_sim_a"),
+        F.col("text").alias("_tx_a"),
+    )
+    sig_b = signatures.select(
+        F.col("url").alias("url_b"),
+        F.col("shingles").alias("_sh_b"),
+        F.col("simhash").alias("_sim_b"),
+        F.col("text").alias("_tx_b"),
+    )
+    scored = (
+        candidates.join(sig_a, "url_a")
+        .join(sig_b, "url_b")
+        .withColumn("_union", F.size(F.array_union("_sh_a", "_sh_b")))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("_union") == 0, F.lit(0.0)).otherwise(
+                F.size(F.array_intersect("_sh_a", "_sh_b"))
+                / F.col("_union").cast("double")
+            ),
+        )
+        .withColumn(
+            "hamming", F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
+        )
+    )
+
+    needs_lcs = (F.col("jaccard") < cfg.jaccard_threshold) & F.array_contains(
+        "sources", "suffix"
+    )
+    fast = scored.where(~needs_lcs).withColumn("lcs_len", F.lit(None).cast("int"))
+    slow = scored.where(needs_lcs).withColumn(
+        "lcs_len", _lcs_udf(F.col("_tx_a"), F.col("_tx_b"))
+    )
+    out = fast.unionByName(slow).withColumn(
+        "is_dup",
+        (F.col("jaccard") >= cfg.jaccard_threshold)
+        | (F.coalesce(F.col("lcs_len"), F.lit(0)) >= cfg.substring_min_len),
+    )
+    return out.select(
+        "url_a", "url_b", "jaccard", "hamming", "lcs_len", "sources", "is_dup"
+    )

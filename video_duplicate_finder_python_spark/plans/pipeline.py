@@ -1,0 +1,187 @@
+"""The end-to-end dedup pipeline — the Spark analog of the reference's
+``VideoScanner.scan_directory`` orchestration (/root/reference/src/core/
+scanner.py:30-63): scan → signature → candidates → verify → cluster, as a
+DAG of checkpointed table→table stages.
+
+Stage graph (each node an idempotent checkpoint, see sources/checkpoint.py):
+
+    pages ─ extract ─→ docs ─ exact ─→ rep_docs ──→ signatures
+                                 │                        │
+                                 │              ┌─────────┼──────────┐
+                                 │         minhash-LSH  simhash   CDC-substr
+                                 │              └─────────┼──────────┘
+                                 │                   candidates
+                                 │                        │
+                                 └── exact_edges ──→   verify ─→ pairs
+                                            │             │
+                                            └──── CC ←── edges
+                                                   │
+                                               clusters(url, cluster_id)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from hashlib import blake2b
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig
+from ..functions.fingerprint import cdc_fingerprints_udf
+from ..functions.signatures import make_signature_udf
+from ..functions.shingles import shingle_hashes_col
+from ..functions.text import extract_text_udf
+from ..operators.connected_components import connected_components
+from ..operators.exact import exact_duplicate_groups
+from ..operators.lsh import minhash_band_candidates
+from ..operators.simhash_candidates import simhash_candidates
+from ..operators.substring import substring_candidates
+from ..operators.verify import verify_candidates
+from ..sources.checkpoint import CheckpointManager
+
+
+@dataclass
+class PipelineResult:
+    clusters: DataFrame   # url, cluster_id (min url of component)
+    pairs: DataFrame      # url_a, url_b, jaccard, hamming, lcs_len, sources, is_dup
+    exact_edges: DataFrame
+    metrics: dict = field(default_factory=dict)
+
+
+class DedupPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: DedupConfig | None = None,
+        checkpoint_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg or DedupConfig()
+        self.ckpt = CheckpointManager(spark, checkpoint_dir)
+
+    # -- fingerprints --------------------------------------------------------
+    def _fp(self, stage: str, *parents: str, extra: str = "") -> str:
+        payload = "|".join([self.cfg.config_hash(), stage, extra, *parents]).encode()
+        return blake2b(payload, digest_size=8).hexdigest()
+
+    @staticmethod
+    def input_digest(pages: DataFrame) -> str:
+        """Cheap input identity: row count + url hash-sum. Content staleness
+        is the incremental path's job (content_hash anti-join, SURVEY O3);
+        on Iceberg the snapshot id replaces this."""
+        row = pages.select(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("url")), F.lit(0)).alias("h"),
+        ).first()
+        return f"{row['n']}:{row['h']}"
+
+    # -- stages ---------------------------------------------------------------
+    def _extract(self, pages: DataFrame) -> DataFrame:
+        return pages.select(
+            "url",
+            "lang",
+            extract_text_udf(F.col("html")).alias("text"),
+        )
+
+    def _signatures(self, rep_docs: DataFrame) -> DataFrame:
+        cfg = self.cfg
+        sig_udf = make_signature_udf(cfg.seed, cfg.num_perm)
+        fp_udf = cdc_fingerprints_udf(cfg.cdc_window, cfg.cdc_mask_bits, cfg.cdc_min_chunk)
+        return (
+            rep_docs.withColumn("shingles", shingle_hashes_col(F.col("text"), cfg.shingle_k))
+            .withColumn("_sig", sig_udf(F.col("shingles")))
+            .withColumn("fingerprints", fp_udf(F.col("text")))
+            .select(
+                "url",
+                "content_hash",
+                "group_size",
+                "text",
+                "shingles",
+                F.col("_sig.minhash").alias("minhash"),
+                F.col("_sig.simhash").alias("simhash"),
+                F.col("_sig.n_shingles").alias("n_shingles"),
+                "fingerprints",
+            )
+        )
+
+    def _candidates(self, signatures: DataFrame) -> tuple[DataFrame, dict]:
+        cfg = self.cfg
+        mh, mh_drop = minhash_band_candidates(signatures, cfg)
+        sh, sh_drop = simhash_candidates(signatures, cfg)
+        ss, ss_drop = substring_candidates(signatures, cfg)
+        unioned = (
+            mh.select("url_a", "url_b", F.lit("minhash").alias("source"))
+            .unionByName(sh.select("url_a", "url_b", F.lit("simhash").alias("source")))
+            .unionByName(ss.select("url_a", "url_b", F.lit("suffix").alias("source")))
+        )
+        cands = unioned.groupBy("url_a", "url_b").agg(
+            F.collect_set("source").alias("sources")
+        )
+        drops = {
+            "lsh_dropped_members": int(mh_drop.first()[0] or 0),
+            "simhash_dropped_members": int(sh_drop.first()[0] or 0),
+            "substring_dropped_members": int(ss_drop.first()[0] or 0),
+        }
+        return cands, drops
+
+    # -- run -------------------------------------------------------------------
+    def run(self, pages: DataFrame, input_token: str | None = None) -> PipelineResult:
+        cfg = self.cfg
+        token = input_token if input_token is not None else self.input_digest(pages)
+
+        fp_docs = self._fp("docs", extra=token)
+        docs = self.ckpt.stage("docs", fp_docs, lambda: self._extract(pages))
+
+        fp_exact = self._fp("exact", fp_docs)
+        rep_docs_lazy, exact_edges_lazy = exact_duplicate_groups(docs)
+        rep_docs = self.ckpt.stage("rep_docs", fp_exact, lambda: rep_docs_lazy, ["docs"])
+        exact_edges = self.ckpt.stage(
+            "exact_edges", fp_exact, lambda: exact_edges_lazy, ["docs"]
+        )
+
+        fp_sigs = self._fp("signatures", fp_exact)
+        signatures = self.ckpt.stage(
+            "signatures", fp_sigs, lambda: self._signatures(rep_docs), ["rep_docs"]
+        )
+
+        fp_cands = self._fp("candidates", fp_sigs)
+        drops: dict = {}
+
+        def build_cands() -> DataFrame:
+            c, d = self._candidates(signatures)
+            drops.update(d)
+            return c
+
+        candidates = self.ckpt.stage(
+            "candidates", fp_cands, build_cands, ["signatures"], counters=lambda: drops
+        )
+
+        fp_pairs = self._fp("pairs", fp_cands)
+        pairs = self.ckpt.stage(
+            "pairs",
+            fp_pairs,
+            lambda: verify_candidates(candidates, signatures, cfg),
+            ["candidates", "signatures"],
+        )
+
+        fp_clusters = self._fp("clusters", fp_pairs, fp_exact)
+
+        def build_clusters() -> DataFrame:
+            edges = exact_edges.unionByName(
+                pairs.where("is_dup").select(
+                    F.col("url_a").alias("u"), F.col("url_b").alias("v")
+                )
+            )
+            return connected_components(edges)
+
+        clusters = self.ckpt.stage(
+            "clusters", fp_clusters, build_clusters, ["pairs", "exact_edges"]
+        )
+
+        return PipelineResult(
+            clusters=clusters,
+            pairs=pairs,
+            exact_edges=exact_edges,
+            metrics=self.ckpt.metrics_summary(),
+        )

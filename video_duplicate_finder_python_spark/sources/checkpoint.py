@@ -1,0 +1,135 @@
+"""Per-stage checkpoints with lineage + counters (SURVEY O3/O4/O16/O18).
+
+The lakehouse analog of the reference's SQLite cache
+(/root/reference/src/core/database.py): every pipeline stage idempotently
+overwrites a parquet directory (Iceberg table in a real deployment — the
+writer is a single seam) next to a ``_metrics.json`` carrying the stage's
+config/input fingerprint, row counters, per-partition row counts, wall
+time, and upstream lineage. A rerun whose fingerprint matches reads the
+checkpoint instead of recomputing — the distributed analog of the
+reference's hash cache probe (database.py:93-130) and its delete-then-insert
+idempotent writes (database.py:196-209); leading-underscore metric files
+are invisible to Spark's parquet reader, so the directory stays a clean
+table.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class StageMetrics:
+    stage: str
+    fingerprint: str
+    rows_out: int
+    wall_s: float
+    cached: bool
+    lineage: list[str] = field(default_factory=list)
+    partitions: list[dict] = field(default_factory=list)
+    counters: dict = field(default_factory=dict)
+
+
+class CheckpointManager:
+    """Idempotent, fingerprint-invalidated parquet stage checkpoints.
+
+    ``base_dir=None`` disables persistence: stages are materialized with
+    ``localCheckpoint`` (still truncates lineage and yields counters) —
+    the in-memory mode tests and small jobs use.
+    """
+
+    def __init__(self, spark: SparkSession, base_dir: str | Path | None = None):
+        self.spark = spark
+        self.base_dir = Path(base_dir) if base_dir is not None else None
+        self.metrics: dict[str, StageMetrics] = {}
+
+    # -- internals ---------------------------------------------------------
+    def _meta_path(self, name: str) -> Path:
+        assert self.base_dir is not None
+        return self.base_dir / name / "_metrics.json"
+
+    def _read_meta(self, name: str) -> dict | None:
+        p = self._meta_path(name)
+        if not p.exists():
+            return None
+        try:
+            return json.loads(p.read_text())
+        except (json.JSONDecodeError, OSError):
+            return None
+
+    def _partition_counts(self, df: DataFrame) -> list[dict]:
+        rows = (
+            df.groupBy(F.spark_partition_id().alias("id"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        )
+        return [{"id": int(r["id"]), "rows": int(r["rows"])} for r in rows]
+
+    # -- public ------------------------------------------------------------
+    def stage(
+        self,
+        name: str,
+        fingerprint: str,
+        build: Callable[[], DataFrame],
+        lineage: list[str] | None = None,
+        counters: Callable[[], dict] | None = None,
+    ) -> DataFrame:
+        """Return the stage's DataFrame, recomputing only on fingerprint miss."""
+        lineage = lineage or []
+        if self.base_dir is not None:
+            meta = self._read_meta(name)
+            path = str(self.base_dir / name)
+            if meta is not None and meta.get("fingerprint") == fingerprint:
+                df = self.spark.read.parquet(path)
+                self.metrics[name] = StageMetrics(
+                    stage=name,
+                    fingerprint=fingerprint,
+                    rows_out=meta.get("rows_out", -1),
+                    wall_s=0.0,
+                    cached=True,
+                    lineage=lineage,
+                    partitions=meta.get("partitions", []),
+                    counters=meta.get("counters", {}),
+                )
+                return df
+
+        t0 = time.monotonic()
+        df = build()
+        extra = counters() if counters is not None else {}
+
+        if self.base_dir is None:
+            out = df.localCheckpoint()
+            rows = out.count()
+            parts = []
+        else:
+            path = str(self.base_dir / name)
+            df.write.mode("overwrite").parquet(path)
+            out = self.spark.read.parquet(path)
+            rows = out.count()
+            parts = self._partition_counts(out)
+        wall = time.monotonic() - t0
+
+        m = StageMetrics(
+            stage=name,
+            fingerprint=fingerprint,
+            rows_out=rows,
+            wall_s=wall,
+            cached=False,
+            lineage=lineage,
+            partitions=parts,
+            counters=extra,
+        )
+        self.metrics[name] = m
+        if self.base_dir is not None:
+            self._meta_path(name).write_text(json.dumps(asdict(m), indent=1))
+        return out
+
+    def metrics_summary(self) -> dict[str, dict]:
+        return {k: asdict(v) for k, v in self.metrics.items()}
