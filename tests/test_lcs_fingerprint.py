@@ -1,0 +1,65 @@
+"""Suffix-automaton LCS + CDC fingerprint position-independence."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from video_duplicate_finder_python_spark.functions.fingerprint import cdc_fingerprints
+from video_duplicate_finder_python_spark.functions.lcs import (
+    longest_common_substring_len,
+)
+
+
+def test_lcs_basic():
+    assert longest_common_substring_len("abcdef", "zabcq") == 3  # "abc"
+    assert longest_common_substring_len("same", "same") == 4
+    assert longest_common_substring_len("abc", "xyz") == 0
+    assert longest_common_substring_len("", "abc") == 0
+    assert longest_common_substring_len("ababab", "babab") == 5
+
+
+def test_lcs_brute_force_agreement():
+    rng = np.random.default_rng(3)
+    alpha = "abcd"
+    for _ in range(30):
+        a = "".join(rng.choice(list(alpha), size=rng.integers(1, 30)))
+        b = "".join(rng.choice(list(alpha), size=rng.integers(1, 30)))
+        brute = 0
+        for i in range(len(a)):
+            for j in range(i + 1, len(a) + 1):
+                if a[i:j] in b:
+                    brute = max(brute, j - i)
+        assert longest_common_substring_len(a, b) == brute, (a, b)
+
+
+def _rand_text(rng, n):
+    return " ".join(f"w{int(x)}" for x in rng.integers(0, 5000, size=n))
+
+
+def test_cdc_shared_span_shares_fingerprint_regardless_of_position():
+    """A >=500-char verbatim span embedded at different offsets in two
+    otherwise-unrelated docs must produce >=1 common chunk fingerprint —
+    the recall property the substring pass depends on."""
+    rng = np.random.default_rng(7)
+    span = _rand_text(rng, 120)  # ~600+ chars
+    assert len(span) >= 500
+    doc_a = _rand_text(rng, 200) + " " + span + " " + _rand_text(rng, 50)
+    doc_b = _rand_text(rng, 17) + " " + span + " " + _rand_text(rng, 300)
+    fa = set(cdc_fingerprints(doc_a))
+    fb = set(cdc_fingerprints(doc_b))
+    assert fa & fb, "no shared CDC fingerprint for a shared 500-char span"
+
+
+def test_cdc_unrelated_docs_share_nothing():
+    rng = np.random.default_rng(8)
+    fa = set(cdc_fingerprints(_rand_text(rng, 400)))
+    fb = set(cdc_fingerprints(_rand_text(rng, 400)))
+    assert not (fa & fb)
+
+
+def test_cdc_deterministic_and_short_doc_empty():
+    rng = np.random.default_rng(9)
+    t = _rand_text(rng, 300)
+    assert cdc_fingerprints(t) == cdc_fingerprints(t)
+    assert cdc_fingerprints("tiny") == []
+    assert cdc_fingerprints(None) == []

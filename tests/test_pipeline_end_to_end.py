@@ -1,0 +1,72 @@
+"""End-to-end pipeline vs the single-node oracle (BASELINE.json bars)."""
+
+from __future__ import annotations
+
+from video_duplicate_finder_python_spark.config import DedupConfig
+
+
+def _cluster_map(df):
+    return {r["url"]: r["cluster_id"] for r in df.collect()}
+
+
+def test_cluster_assignment_matches_oracle(pipeline_result, oracle_result):
+    engine = _cluster_map(pipeline_result.clusters)
+    oracle = dict(zip(oracle_result.clusters["url"], oracle_result.clusters["cluster_id"]))
+    assert engine == oracle
+
+
+def test_dup_pair_recall_bar(pipeline_result, oracle_result):
+    """Recall >= 0.99 vs oracle pairs at jaccard_true >= threshold, plus all
+    confirmed substring pairs (BASELINE.json north rule)."""
+    cfg = DedupConfig()
+    engine = _cluster_map(pipeline_result.clusters)
+    required = oracle_result.pairs[
+        (oracle_result.pairs["jaccard_true"] >= cfg.jaccard_threshold)
+        | (oracle_result.pairs["kind"] == "substring")
+    ]
+    total = len(required)
+    assert total > 30, "corpus must plant enough duplicate pairs"
+    covered = sum(
+        1
+        for r in required.itertuples(index=False)
+        if engine.get(r.url_a) is not None and engine.get(r.url_a) == engine.get(r.url_b)
+    )
+    assert covered / total >= 0.99, f"recall {covered}/{total}"
+
+
+def test_no_false_positive_pairs(pipeline_result, oracle_result, corpus):
+    """Every engine dup pair must be real: jaccard >= t or LCS >= L.
+    The engine's own verified jaccard is exact, so cross-check a sample
+    against the oracle's shingle-set jaccard."""
+    from video_duplicate_finder_python_spark.oracle import jaccard, shingle_set
+
+    texts = dict(zip(corpus.pages["url"], corpus.pages["text"]))
+    rows = pipeline_result.pairs.where("is_dup").collect()
+    assert rows
+    for r in rows[:50]:
+        if r["lcs_len"] is not None and r["lcs_len"] >= DedupConfig().substring_min_len:
+            continue
+        true_j = jaccard(
+            shingle_set(texts[r["url_a"]], 5), shingle_set(texts[r["url_b"]], 5)
+        )
+        assert abs(true_j - r["jaccard"]) < 1e-9
+        assert true_j >= DedupConfig().jaccard_threshold
+
+
+def test_exact_edges_are_exact(pipeline_result, corpus):
+    texts = dict(zip(corpus.pages["url"], corpus.pages["text"]))
+    for r in pipeline_result.exact_edges.collect():
+        assert texts[r["u"]] == texts[r["v"]]
+        assert r["v"] < r["u"]  # representative is the min url
+
+
+def test_stage_metrics_emitted(pipeline_result):
+    m = pipeline_result.metrics
+    for stage in ["docs", "rep_docs", "exact_edges", "signatures", "candidates", "pairs", "clusters"]:
+        assert stage in m
+        assert m[stage]["rows_out"] >= 0
+    assert set(m["candidates"]["counters"]) == {
+        "lsh_dropped_members",
+        "simhash_dropped_members",
+        "substring_dropped_members",
+    }

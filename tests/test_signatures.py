@@ -1,0 +1,91 @@
+"""Signature stage: determinism, MinHash estimate quality, SimHash locality."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from video_duplicate_finder_python_spark.config import DedupConfig
+from video_duplicate_finder_python_spark.functions.shingles import shingle_hashes_col
+from video_duplicate_finder_python_spark.functions.signatures import (
+    make_signature_udf,
+    minhash_of,
+    minhash_params,
+    simhash_of,
+)
+from video_duplicate_finder_python_spark.oracle import jaccard, shingle_set
+
+
+def _sig_df(spark, texts, cfg=None):
+    cfg = cfg or DedupConfig()
+    udf = make_signature_udf(cfg.seed, cfg.num_perm)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+    return (
+        df.withColumn("shingles", shingle_hashes_col(F.col("text"), cfg.shingle_k))
+        .withColumn("sig", udf("shingles"))
+        .select("id", "text", "shingles", "sig.*")
+        .orderBy("id")
+        .collect()
+    )
+
+
+def test_shingle_counts_match_oracle(spark):
+    texts = [
+        "a b c d e f g h",              # 4 shingles of 5 words
+        "one two three",                # short doc -> 1 shingle
+        "x x x x x x x",                # repeated -> 1 distinct shingle
+    ]
+    rows = _sig_df(spark, texts)
+    for r, t in zip(rows, texts):
+        assert len(r["shingles"]) == len(shingle_set(t, 5)), t
+        assert r["n_shingles"] == len(r["shingles"])
+
+
+def test_signature_deterministic_and_equal_for_equal_text(spark):
+    texts = ["alpha beta gamma delta epsilon zeta eta theta"] * 2 + ["other words entirely here now full stop done"]
+    rows = _sig_df(spark, texts)
+    assert rows[0]["minhash"] == rows[1]["minhash"]
+    assert rows[0]["simhash"] == rows[1]["simhash"]
+    assert rows[0]["minhash"] != rows[2]["minhash"]
+    # rerun -> identical (seeded params, no wall-clock anywhere)
+    rows2 = _sig_df(spark, texts)
+    assert rows[0]["minhash"] == rows2[0]["minhash"]
+    assert rows[0]["simhash"] == rows2[0]["simhash"]
+
+
+def test_minhash_estimates_jaccard():
+    """Agreement fraction of minhash vectors ~ true Jaccard (within 0.12)."""
+    rng = np.random.default_rng(0)
+    a_params, b_params = minhash_params(42, 128)
+    base = rng.integers(0, 2**63, size=400, dtype=np.uint64)
+    for keep in (0.95, 0.8, 0.5):
+        n_keep = int(400 * keep)
+        other = np.concatenate(
+            [base[:n_keep], rng.integers(0, 2**63, size=400 - n_keep, dtype=np.uint64)]
+        )
+        true_j = len(set(base.tolist()) & set(other.tolist())) / len(
+            set(base.tolist()) | set(other.tolist())
+        )
+        mh_a = minhash_of(base, a_params, b_params)
+        mh_b = minhash_of(other, a_params, b_params)
+        est = float(np.mean(mh_a == mh_b))
+        assert abs(est - true_j) < 0.12, (keep, true_j, est)
+
+
+def test_simhash_locality():
+    rng = np.random.default_rng(1)
+    base = rng.integers(0, 2**63, size=500, dtype=np.uint64)
+    near = np.concatenate([base[:490], rng.integers(0, 2**63, size=10, dtype=np.uint64)])
+    far = rng.integers(0, 2**63, size=500, dtype=np.uint64)
+    h = lambda x: simhash_of(x) & ((1 << 64) - 1)
+    d_near = bin(h(base) ^ h(near)).count("1")
+    d_far = bin(h(base) ^ h(far)).count("1")
+    assert d_near < d_far
+    assert d_near <= 6
+
+
+def test_empty_doc_signature(spark):
+    rows = _sig_df(spark, [""])
+    assert rows[0]["n_shingles"] == 0
+    assert rows[0]["simhash"] == 0
+    assert len(rows[0]["minhash"]) == 128
