@@ -1,0 +1,74 @@
+"""Driver bench harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries": {name: sec}, "sf", ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from bench_core import make_session, run_dedup_pipeline  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entrymod
+    from video_duplicate_finder_python_spark.sources.pages import documents_as_pages
+
+    spark = make_session(cpus)
+    queries: dict[str, float] = {}
+    t_total0 = time.monotonic()
+
+    # headline: the end-to-end dedup pipeline (the engine's reason to exist)
+    pages = documents_as_pages(spark, sf_dir)
+    dedup = run_dedup_pipeline(spark, pages)
+    queries["dedup_pipeline"] = dedup["wall_s"]
+
+    # representative operator queries (SQL-expressible subset that scales)
+    bench_names = [
+        "doc_content_hash",
+        "token_counts",
+        "stopword_ratio",
+        "minhash_signatures",
+        "cdc_fingerprints",
+        "pricing_summary",
+        "top_customer_spend",
+        "order_priority_count",
+        "events_daily",
+        "latest_event_per_user",
+        "customers_without_orders",
+        "knn_dot_q0",
+        "knn_cosine_q0",
+    ]
+    all_queries = entrymod.queries()
+    for name in bench_names:
+        t0 = time.monotonic()
+        n = all_queries[name](spark, sf_dir).count()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    total = time.monotonic() - t_total0
+    out = {
+        "metric": "bench_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "dedup_docs_per_sec": dedup["docs_per_sec"],
+        "dedup_n_docs": dedup["n_docs"],
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
