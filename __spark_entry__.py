@@ -36,16 +36,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _shingle_strings(text_col):
-    """Distinct 5-word shingles as strings (mirrors the SQL oracle exactly)."""
-    toks = F.split(text_col, " ")
+def _with_shingle_strings(df: DataFrame, text_col: str, out: str = "s") -> DataFrame:
+    """Distinct 5-word shingles as strings (mirrors the SQL oracle exactly).
+    Tokens are materialized into a column first — passing the split()
+    expression into the transform() lambda makes Catalyst re-tokenize per
+    shingle index (see functions/shingles.py)."""
+    df = df.withColumn("_tk", F.split(F.col(text_col), " "))
     sliding = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(4)),
-        lambda i: F.array_join(F.slice(toks, i, 5), " "),
+        F.sequence(F.lit(1), F.size("_tk") - F.lit(4)),
+        lambda i: F.array_join(F.slice(F.col("_tk"), i, 5), " "),
     )
-    return F.when(F.size(toks) >= 5, F.array_distinct(sliding)).otherwise(
-        F.array(F.array_join(toks, " "))
-    )
+    return df.withColumn(
+        out,
+        F.when(F.size("_tk") >= 5, F.array_distinct(sliding)).otherwise(
+            F.array(F.array_join(F.col("_tk"), " "))
+        ),
+    ).drop("_tk")
 
 
 def _quantize(col):
@@ -149,9 +155,9 @@ def q_top_docs_by_chars(spark, sf_dir):
 def q_jaccard_pairs_brute(spark, sf_dir):
     # exact verification operator (SURVEY O7), brute-force twin of the SQL
     # oracle: all-pairs 5-shingle Jaccard, top 20
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", _shingle_strings(F.col("text")).alias("s")
-    )
+    d = _with_shingle_strings(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "text"
+    ).select("doc_id", "s")
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
@@ -280,6 +286,40 @@ def q_knn_dot_q0(spark, sf_dir):
     )
 
 
+def q_doc_previews(spark, sf_dir):
+    # SURVEY O17 analog: per-item preview artifact (snippet column)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 200).alias("preview")
+    ).orderBy("doc_id")
+
+
+def q_lang_id_guess(spark, sf_dir):
+    # text-analysis extra: stopword-vote language ID
+    from video_duplicate_finder_python_spark.functions.textstats import lang_guess
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", lang_guess(F.col("text")).alias("lang_guess")
+    ).orderBy("doc_id")
+
+
+def q_regex_token_counts(spark, sf_dir):
+    from video_duplicate_finder_python_spark.functions.textstats import (
+        regex_token_count,
+    )
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", regex_token_count(F.col("text")).alias("n_words")
+    ).orderBy("doc_id")
+
+
+def q_quality_scores(spark, sf_dir):
+    from video_duplicate_finder_python_spark.functions.textstats import quality_score
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
+
+
 # ---- engine-native queries (rows-only checks: no SQL equivalent) ----------
 def q_dedup_clusters(spark, sf_dir):
     # SURVEY O10: full pipeline cluster assignment
@@ -289,14 +329,13 @@ def q_dedup_clusters(spark, sf_dir):
 
 def q_minhash_signatures(spark, sf_dir):
     # SURVEY O2: 128-perm MinHash + 64-bit SimHash signatures
-    from video_duplicate_finder_python_spark.functions.shingles import shingle_hashes_col
+    from video_duplicate_finder_python_spark.functions.shingles import with_shingles
     from video_duplicate_finder_python_spark.functions.signatures import make_signature_udf
 
     cfg = DedupConfig()
     udf = make_signature_udf(cfg.seed, cfg.num_perm)
     return (
-        _t(spark, sf_dir, "documents")
-        .withColumn("shingles", shingle_hashes_col(F.col("text"), cfg.shingle_k))
+        with_shingles(_t(spark, sf_dir, "documents"), "text", cfg.shingle_k)
         .withColumn("sig", udf("shingles"))
         .select("doc_id", "sig.n_shingles", "sig.simhash", "sig.minhash")
         .orderBy("doc_id")
@@ -341,6 +380,26 @@ def q_knn_cosine_q0(spark, sf_dir):
     )
 
 
+def q_ann_lsh_q0(spark, sf_dir):
+    # scale-path ANN: hyperplane-LSH buckets + multiprobe (rows-only check;
+    # exactness baseline is knn_dot_q0/knn_cosine_q0)
+    from video_duplicate_finder_python_spark.operators.ann import lsh_topk
+
+    return lsh_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+def q_media_features(spark, sf_dir):
+    # multimodal plumbing: binary media -> typed features via mapInPandas
+    # (deterministic fake decode; real codecs are stubbed, see
+    # functions/multimodal.py)
+    from video_duplicate_finder_python_spark.functions.multimodal import decode_media
+
+    pages = documents_as_pages(spark, sf_dir)
+    return decode_media(pages, key_col="url", media_col="html").select(
+        "key", "width", "height", "n_bytes"
+    ).orderBy("key")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_content_hash": q_doc_content_hash,
@@ -359,10 +418,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": q_latest_event_per_user,
         "customers_without_orders": q_customers_without_orders,
         "knn_dot_q0": q_knn_dot_q0,
+        "doc_previews": q_doc_previews,
+        "lang_id_guess": q_lang_id_guess,
+        "regex_token_counts": q_regex_token_counts,
+        "quality_scores": q_quality_scores,
         "dedup_clusters": q_dedup_clusters,
         "minhash_signatures": q_minhash_signatures,
         "cdc_fingerprints": q_cdc_fingerprints,
         "knn_cosine_q0": q_knn_cosine_q0,
+        "ann_lsh_q0": q_ann_lsh_q0,
+        "media_features": q_media_features,
     }
 
 
@@ -478,5 +543,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, CAST(list_sum(list_transform("
             "  generate_series(1, len(ee)), i -> ee[i] * qe[i])) AS BIGINT) AS dot_q0 "
             "FROM ez, qz ORDER BY dot_q0 DESC, vec_id LIMIT 10"
+        ),
+        "doc_previews": (
+            "SELECT doc_id, substr(text, 1, 200) AS preview "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "lang_id_guess": (
+            "SELECT doc_id, CASE "
+            "WHEN en >= de AND en >= fr AND en > 0 THEN 'en' "
+            "WHEN de >= fr AND de > 0 THEN 'de' "
+            "WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_guess FROM ("
+            "SELECT doc_id, "
+            "len(list_filter(string_split(text,' '), t -> t IN "
+            "('the','a','of','and','to','in','is','it'))) AS en, "
+            "len(list_filter(string_split(text,' '), t -> t IN "
+            "('der','die','das','und','ist','nicht','ein'))) AS de, "
+            "len(list_filter(string_split(text,' '), t -> t IN "
+            "('le','la','les','et','est','un','une'))) AS fr "
+            "FROM documents) ORDER BY doc_id"
+        ),
+        "regex_token_counts": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) "
+            "AS BIGINT) AS n_words FROM documents ORDER BY doc_id"
+        ),
+        "quality_scores": (
+            "SELECT doc_id, "
+            "least(CAST(len(string_split(text,' ')) AS DOUBLE), 200.0) / 200.0 * 0.5 "
+            "+ least(len(list_filter(string_split(text,' '), t -> t IN "
+            "('the','a','of','and','to','in','is','it')))::DOUBLE "
+            "/ len(string_split(text,' '))::DOUBLE * 10.0, 1.0) * 0.5 AS quality "
+            "FROM documents ORDER BY doc_id"
         ),
     }

@@ -1,0 +1,65 @@
+"""Text-analysis column builders (training-data-pipeline extras).
+
+All JVM-side Column expressions (whole-stage codegen, no UDFs): token
+counting (whitespace + regex word extraction), quality scoring
+(length / stopword-density heuristics), and a stopword-vote language-ID
+heuristic. Each has an exact ANSI-SQL twin in __spark_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it")
+STOPWORDS_DE = ("der", "die", "das", "und", "ist", "nicht", "ein")
+STOPWORDS_FR = ("le", "la", "les", "et", "est", "un", "une")
+
+WORD_RE = "[a-z0-9]+"
+
+
+def token_count(text: Column) -> Column:
+    return F.size(F.split(text, " ")).cast("bigint")
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish lower-alnum word extraction count."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(WORD_RE), 0)).cast("bigint")
+
+
+def _stop_hits(text: Column, words: tuple[str, ...]) -> Column:
+    toks = F.split(text, " ")
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("bigint")
+
+
+def stopword_ratio(text: Column, words: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    toks = F.split(text, " ")
+    return _stop_hits(text, words).cast("double") / F.size(toks).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Crude quality heuristic in [0,1]: length band + stopword presence.
+
+    score = 0.5 * min(n_tokens, 200)/200 + 0.5 * min(stop_ratio*10, 1)
+    (deterministic, expressible identically in SQL).
+    """
+    toks = F.size(F.split(text, " ")).cast("double")
+    len_part = F.least(toks, F.lit(200.0)) / F.lit(200.0)
+    stop_part = F.least(stopword_ratio(text) * 10.0, F.lit(1.0))
+    return len_part * 0.5 + stop_part * 0.5
+
+
+def lang_guess(text: Column) -> Column:
+    """Stopword-vote language ID: argmax of (en, de, fr) hit counts, 'und'
+    when all are zero; ties break en > de > fr (CASE order)."""
+    en, de, fr = (
+        _stop_hits(text, STOPWORDS_EN),
+        _stop_hits(text, STOPWORDS_DE),
+        _stop_hits(text, STOPWORDS_FR),
+    )
+    return (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..config import DedupConfig
 from ..functions.fingerprint import cdc_fingerprints_udf
 from ..functions.signatures import make_signature_udf
-from ..functions.shingles import shingle_hashes_col
+from ..functions.shingles import with_shingles
 from ..functions.text import extract_text_udf
 from ..operators.connected_components import connected_components
 from ..operators.exact import exact_duplicate_groups
@@ -47,6 +47,20 @@ class PipelineResult:
     pairs: DataFrame      # url_a, url_b, jaccard, hamming, lcs_len, sources, is_dup
     exact_edges: DataFrame
     metrics: dict = field(default_factory=dict)
+
+    def summary(self) -> dict:
+        """Reference-style scan stats (SURVEY O12: get_files_count /
+        get_duplicates_count), derived from the stage counters — no extra
+        Spark jobs."""
+        return {
+            "files_count": self.metrics["docs"]["rows_out"],
+            "distinct_contents": self.metrics["rep_docs"]["rows_out"],
+            "exact_duplicate_files": self.metrics["exact_edges"]["rows_out"],
+            "candidate_pairs": self.metrics["candidates"]["rows_out"],
+            "verified_pairs": self.metrics["pairs"]["rows_out"],
+            "clustered_files": self.metrics["clusters"]["rows_out"],
+            "dropped_bucket_members": self.metrics["candidates"].get("counters", {}),
+        }
 
 
 class DedupPipeline:
@@ -88,8 +102,13 @@ class DedupPipeline:
         cfg = self.cfg
         sig_udf = make_signature_udf(cfg.seed, cfg.num_perm)
         fp_udf = cdc_fingerprints_udf(cfg.cdc_window, cfg.cdc_mask_bits, cfg.cdc_min_chunk)
+        # compute-bound stage: spread rows evenly over all cores regardless
+        # of upstream AQE coalescing (which sizes partitions for IO, not CPU)
+        n_part = max(
+            self.spark.sparkContext.defaultParallelism * 2, cfg.shuffle_partitions
+        )
         return (
-            rep_docs.withColumn("shingles", shingle_hashes_col(F.col("text"), cfg.shingle_k))
+            with_shingles(rep_docs.repartition(n_part), "text", cfg.shingle_k)
             .withColumn("_sig", sig_udf(F.col("shingles")))
             .withColumn("fingerprints", fp_udf(F.col("text")))
             .select(
@@ -125,9 +144,21 @@ class DedupPipeline:
         }
         return cands, drops
 
+    # -- cancellation (SURVEY O19) ---------------------------------------------
+    JOB_GROUP = "vdf-dedup-pipeline"
+
+    def cancel(self) -> None:
+        """Cooperative cancellation — the distributed analog of the
+        reference's _stop_requested flag (scanner.py:145-147). Completed
+        stage checkpoints survive, so a restart resumes where it stopped."""
+        self.spark.sparkContext.cancelJobGroup(self.JOB_GROUP)
+
     # -- run -------------------------------------------------------------------
     def run(self, pages: DataFrame, input_token: str | None = None) -> PipelineResult:
         cfg = self.cfg
+        self.spark.sparkContext.setJobGroup(
+            self.JOB_GROUP, "near-duplicate detection pipeline", True
+        )
         token = input_token if input_token is not None else self.input_digest(pages)
 
         fp_docs = self._fp("docs", extra=token)
