@@ -329,14 +329,15 @@ def q_dedup_clusters(spark, sf_dir):
 
 def q_minhash_signatures(spark, sf_dir):
     # SURVEY O2: 128-perm MinHash + 64-bit SimHash signatures
-    from video_duplicate_finder_python_spark.functions.shingles import with_shingles
-    from video_duplicate_finder_python_spark.functions.signatures import make_signature_udf
+    from video_duplicate_finder_python_spark.functions.signatures import (
+        make_text_signature_udf,
+    )
 
     cfg = DedupConfig()
-    udf = make_signature_udf(cfg.seed, cfg.num_perm)
+    udf = make_text_signature_udf(cfg.seed, cfg.num_perm, cfg.shingle_k)
     return (
-        with_shingles(_t(spark, sf_dir, "documents"), "text", cfg.shingle_k)
-        .withColumn("sig", udf("shingles"))
+        _t(spark, sf_dir, "documents")
+        .withColumn("sig", udf("text"))
         .select("doc_id", "sig.n_shingles", "sig.simhash", "sig.minhash")
         .orderBy("doc_id")
     )

@@ -41,15 +41,17 @@ def run_dedup_pipeline(spark, pages_df) -> dict:
 
 
 def synth_corpus_parquet(spark, path: str, n_docs: int, seed: int = 42) -> str:
-    """Write the seeded synthetic page corpus once (reused across sessions)."""
+    """Write the seeded synthetic page corpus once (reused across sessions).
+    Generated on the executors (corpus_distributed) — no driver-side
+    materialization, same planted-duplicate taxonomy as FIXTURES.md."""
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        from video_duplicate_finder_python_spark.corpus import (
-            generate_corpus,
-            pages_spark_df,
+        from video_duplicate_finder_python_spark.corpus_distributed import (
+            generate_pages_distributed,
         )
 
-        corpus = generate_corpus(seed=seed, n_docs=n_docs)
-        pages_spark_df(spark, corpus, partitions=64).write.mode("overwrite").parquet(path)
+        generate_pages_distributed(spark, n_docs, seed=seed, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(path)
     return path
 
 

@@ -57,6 +57,34 @@ def test_cdc_unrelated_docs_share_nothing():
     assert not (fa & fb)
 
 
+def test_anchored_span_matches_true_lcs_on_planted_spans():
+    from video_duplicate_finder_python_spark.functions.fingerprint import (
+        anchored_common_span_len,
+    )
+
+    rng = np.random.default_rng(17)
+    for trial in range(10):
+        span = _rand_text(rng, int(rng.integers(90, 250)))
+        doc_a = _rand_text(rng, 150) + " " + span + " " + _rand_text(rng, 80)
+        doc_b = _rand_text(rng, 40) + " " + span + " " + _rand_text(rng, 200)
+        true_lcs = longest_common_substring_len(doc_a, doc_b)
+        got = anchored_common_span_len(doc_a, doc_b)
+        # anchored extension recovers the full planted span (±nothing): it
+        # must find at least the span itself, never exceed the true LCS
+        assert got <= true_lcs
+        assert got >= len(span), (trial, got, len(span), true_lcs)
+
+
+def test_anchored_span_zero_for_unrelated_docs():
+    from video_duplicate_finder_python_spark.functions.fingerprint import (
+        anchored_common_span_len,
+    )
+
+    rng = np.random.default_rng(18)
+    assert anchored_common_span_len(_rand_text(rng, 300), _rand_text(rng, 300)) == 0
+    assert anchored_common_span_len("", "abc") == 0
+
+
 def test_cdc_deterministic_and_short_doc_empty():
     rng = np.random.default_rng(9)
     t = _rand_text(rng, 300)

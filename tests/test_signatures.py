@@ -6,11 +6,12 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from video_duplicate_finder_python_spark.config import DedupConfig
-from video_duplicate_finder_python_spark.functions.shingles import shingle_hashes_col
 from video_duplicate_finder_python_spark.functions.signatures import (
-    make_signature_udf,
+    make_shingles_udf,
+    make_text_signature_udf,
     minhash_of,
     minhash_params,
+    shingle_hashes_np,
     simhash_of,
 )
 from video_duplicate_finder_python_spark.oracle import jaccard, shingle_set
@@ -18,11 +19,12 @@ from video_duplicate_finder_python_spark.oracle import jaccard, shingle_set
 
 def _sig_df(spark, texts, cfg=None):
     cfg = cfg or DedupConfig()
-    udf = make_signature_udf(cfg.seed, cfg.num_perm)
+    udf = make_text_signature_udf(cfg.seed, cfg.num_perm, cfg.shingle_k)
+    sh_udf = make_shingles_udf(cfg.shingle_k)
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
     return (
-        df.withColumn("shingles", shingle_hashes_col(F.col("text"), cfg.shingle_k))
-        .withColumn("sig", udf("shingles"))
+        df.withColumn("shingles", sh_udf(F.col("text")))
+        .withColumn("sig", udf("text"))
         .select("id", "text", "shingles", "sig.*")
         .orderBy("id")
         .collect()
@@ -89,3 +91,14 @@ def test_empty_doc_signature(spark):
     assert rows[0]["n_shingles"] == 0
     assert rows[0]["simhash"] == 0
     assert len(rows[0]["minhash"]) == 128
+
+
+def test_shingle_hashes_np_matches_oracle_counts():
+    cache: dict[str, int] = {}
+    for t in ["a b c d e f g h", "one two three", "x x x x x x x", ""]:
+        got = shingle_hashes_np(t, 5, cache)
+        assert len(got) == (len(shingle_set(t, 5)) if t else 0), t
+    # identical shingle sets -> identical hash sets regardless of cache state
+    fresh = shingle_hashes_np("a b c d e f g h", 5, {})
+    cached = shingle_hashes_np("a b c d e f g h", 5, cache)
+    assert fresh.tolist() == cached.tolist()

@@ -19,6 +19,8 @@ cluster agree bit-for-bit.
 
 from __future__ import annotations
 
+from hashlib import blake2b
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
@@ -72,7 +74,8 @@ def simhash_of(shingles: np.ndarray) -> int:
 
 
 def make_signature_udf(seed: int, num_perm: int):
-    """Build the struct-returning pandas UDF (minhash, simhash, n_shingles)."""
+    """Build the struct-returning pandas UDF (minhash, simhash, n_shingles)
+    over a pre-computed shingle-hash array column."""
     a_params, b_params = minhash_params(seed, num_perm)
 
     @F.pandas_udf(SIGNATURE_SCHEMA)
@@ -90,3 +93,85 @@ def make_signature_udf(seed: int, num_perm: int):
         )
 
     return signature_udf
+
+
+# --------------------------------------------------------------------------
+# text → shingle hashes, NumPy path
+#
+# Why not JVM-side? The natural Spark expression —
+# transform(sequence(...), i -> xxhash64(slice(tokens, i, k))) — runs on
+# the *interpreted* higher-order-function path (no codegen), which in
+# local mode scales INVERSELY with thread count (measured: 13s at
+# local[2] → 114s at local[8] for the same 20k docs; meanwhile the
+# Arrow/NumPy UDFs scaled 9x). Token hashing below is batch-cached
+# (web-text vocabulary is zipfian, so most lookups hit the cache) and the
+# k-gram hash is a vectorized rolling polynomial — ~1ms/doc at 2k tokens.
+# --------------------------------------------------------------------------
+_POLY_BASE = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+
+
+def _token_hash(token: str) -> int:
+    return int.from_bytes(blake2b(token.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def shingle_hashes_np(text: str | None, k: int, cache: dict[str, int]) -> np.ndarray:
+    """Distinct 64-bit k-shingle hashes of ``text`` (uint64 array).
+
+    Same semantics as the reference's per-item frame sampling analog
+    (SURVEY O2): <k tokens → one shingle over all tokens; empty → empty.
+    """
+    if not text:
+        return np.empty(0, dtype=np.uint64)
+    toks = text.split(" ")
+    n = len(toks)
+    h = np.empty(n, dtype=np.uint64)
+    get = cache.get
+    for i, t in enumerate(toks):
+        v = get(t)
+        if v is None:
+            v = _token_hash(t)
+            cache[t] = v
+        h[i] = v
+    if n < k:
+        k = n  # single shingle over everything
+    out = np.zeros(n - k + 1, dtype=np.uint64)
+    pw = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for j in range(k - 1, -1, -1):
+            out += h[j : j + n - k + 1] * pw
+            pw = pw * _POLY_BASE
+    return np.unique(out)
+
+
+def make_text_signature_udf(seed: int, num_perm: int, k: int):
+    """text → (minhash, simhash, n_shingles), shingling included."""
+    a_params, b_params = minhash_params(seed, num_perm)
+
+    @F.pandas_udf(SIGNATURE_SCHEMA)
+    def text_signature_udf(text: pd.Series) -> pd.DataFrame:
+        cache: dict[str, int] = {}
+        minhashes, simhashes, counts = [], [], []
+        for t in text:
+            sh = shingle_hashes_np(t, k, cache)
+            minhashes.append(minhash_of(sh, a_params, b_params))
+            simhashes.append(simhash_of(sh))
+            counts.append(int(sh.size))
+        return pd.DataFrame(
+            {"minhash": minhashes, "simhash": simhashes, "n_shingles": counts}
+        )
+
+    return text_signature_udf
+
+
+def make_shingles_udf(k: int):
+    """text → array<long> of distinct shingle hashes (for the verification
+    stage's exact Jaccard over candidate docs)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType(), False))
+    def shingles_udf(text: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+        return pd.Series(
+            [shingle_hashes_np(t, k, cache).view(np.int64) for t in text]
+        )
+
+    return shingles_udf

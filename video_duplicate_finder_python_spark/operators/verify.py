@@ -6,9 +6,12 @@ comparator.py:79-80). Here the score the north rule fixes is *exact*
 word-shingle Jaccard — computed fully JVM-side from the pre-computed
 shingle-hash arrays (``array_intersect`` / ``array_union``), plus the exact
 64-bit SimHash Hamming distance as ``bit_count(a ^ b)``. Python appears
-only on the slow path: the O(n+m) suffix-automaton LCS (functions/lcs.py)
-runs solely on substring-source candidates that *failed* the Jaccard test,
-an Arrow-batched pandas UDF over an already-small DataFrame.
+only on the slow path: the chunk-anchored common-span check
+(functions/fingerprint.py:anchored_common_span_len) runs solely on
+substring-source candidates that *failed* the Jaccard test, an
+Arrow-batched pandas UDF over an already-small DataFrame. (The exact
+suffix-automaton LCS in functions/lcs.py is the oracle's independent
+ground truth.)
 """
 
 from __future__ import annotations
@@ -19,38 +22,50 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import DedupConfig
-from ..functions.lcs import longest_common_substring_len
+from ..functions.fingerprint import anchored_common_span_len
 
 
-@F.pandas_udf(T.IntegerType())
-def _lcs_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [longest_common_substring_len(a or "", b or "") for a, b in zip(text_a, text_b)],
-        dtype="int32",
-    )
+def _make_span_udf(window: int, mask_bits: int):
+    @F.pandas_udf(T.IntegerType())
+    def span_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                anchored_common_span_len(a or "", b or "", window, mask_bits)
+                for a, b in zip(text_a, text_b)
+            ],
+            dtype="int32",
+        )
+
+    return span_udf
 
 
 def verify_candidates(
     candidates: DataFrame,
-    signatures: DataFrame,
+    cand_profiles: DataFrame,
     cfg: DedupConfig,
 ) -> DataFrame:
     """Score every candidate pair; flag duplicates.
 
     ``candidates(url_a, url_b, sources: array<string>)``
-    ``signatures(url, shingles, simhash, text, ...)``
+    ``cand_profiles(url, shingles, simhash, text)`` — profiles for (at
+    least) every url appearing in a candidate pair. The pipeline builds
+    this by semi-joining rep_docs to the candidate url set and recomputing
+    shingles just for those docs: candidates are a tiny fraction of the
+    corpus, so recomputation is far cheaper than persisting the full
+    shingle arrays through the signature checkpoint (which would roughly
+    double the checkpoint's size at 10^12-doc scale).
     → ``pairs(url_a, url_b, jaccard, hamming, lcs_len, sources, is_dup)``
 
     ``lcs_len`` is only materialized (non-null) for substring-source pairs
     below the Jaccard threshold; other pairs never pay for it.
     """
-    sig_a = signatures.select(
+    sig_a = cand_profiles.select(
         F.col("url").alias("url_a"),
         F.col("shingles").alias("_sh_a"),
         F.col("simhash").alias("_sim_a"),
         F.col("text").alias("_tx_a"),
     )
-    sig_b = signatures.select(
+    sig_b = cand_profiles.select(
         F.col("url").alias("url_b"),
         F.col("shingles").alias("_sh_b"),
         F.col("simhash").alias("_sim_b"),
@@ -75,9 +90,10 @@ def verify_candidates(
     needs_lcs = (F.col("jaccard") < cfg.jaccard_threshold) & F.array_contains(
         "sources", "suffix"
     )
+    span_udf = _make_span_udf(cfg.cdc_window, cfg.cdc_mask_bits)
     fast = scored.where(~needs_lcs).withColumn("lcs_len", F.lit(None).cast("int"))
     slow = scored.where(needs_lcs).withColumn(
-        "lcs_len", _lcs_udf(F.col("_tx_a"), F.col("_tx_b"))
+        "lcs_len", span_udf(F.col("_tx_a"), F.col("_tx_b"))
     )
     out = fast.unionByName(slow).withColumn(
         "is_dup",

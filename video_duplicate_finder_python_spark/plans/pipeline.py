@@ -28,10 +28,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DedupConfig
-from ..functions.fingerprint import cdc_fingerprints_udf
-from ..functions.signatures import make_signature_udf
-from ..functions.shingles import with_shingles
+from ..functions.signatures import make_shingles_udf
 from ..functions.text import extract_text_udf
+from ..operators.signature_stage import compute_signatures
 from ..operators.connected_components import connected_components
 from ..operators.exact import exact_duplicate_groups
 from ..operators.lsh import minhash_band_candidates
@@ -99,29 +98,31 @@ class DedupPipeline:
         )
 
     def _signatures(self, rep_docs: DataFrame) -> DataFrame:
-        cfg = self.cfg
-        sig_udf = make_signature_udf(cfg.seed, cfg.num_perm)
-        fp_udf = cdc_fingerprints_udf(cfg.cdc_window, cfg.cdc_mask_bits, cfg.cdc_min_chunk)
         # compute-bound stage: spread rows evenly over all cores regardless
-        # of upstream AQE coalescing (which sizes partitions for IO, not CPU)
+        # of upstream AQE coalescing (which sizes partitions for IO, not CPU).
+        # shingle arrays are NOT kept: they would roughly double the
+        # checkpoint at 10^12-doc scale; verify recomputes them for the
+        # (tiny) candidate url set instead.
         n_part = max(
-            self.spark.sparkContext.defaultParallelism * 2, cfg.shuffle_partitions
+            self.spark.sparkContext.defaultParallelism * 2, self.cfg.shuffle_partitions
         )
-        return (
-            with_shingles(rep_docs.repartition(n_part), "text", cfg.shingle_k)
-            .withColumn("_sig", sig_udf(F.col("shingles")))
-            .withColumn("fingerprints", fp_udf(F.col("text")))
-            .select(
-                "url",
-                "content_hash",
-                "group_size",
-                "text",
-                "shingles",
-                F.col("_sig.minhash").alias("minhash"),
-                F.col("_sig.simhash").alias("simhash"),
-                F.col("_sig.n_shingles").alias("n_shingles"),
-                "fingerprints",
-            )
+        return compute_signatures(
+            rep_docs.repartition(n_part),
+            self.cfg,
+            keep_cols=["url", "content_hash", "group_size"],
+        )
+
+    def _cand_profiles(self, candidates: DataFrame, rep_docs: DataFrame, signatures: DataFrame) -> DataFrame:
+        """(url, text, shingles, simhash) for every url in a candidate pair."""
+        cand_urls = (
+            candidates.select(F.col("url_a").alias("url"))
+            .union(candidates.select(F.col("url_b").alias("url")))
+            .distinct()
+        )
+        cand_docs = rep_docs.join(cand_urls, "url", "left_semi").select("url", "text")
+        shingles_udf = make_shingles_udf(self.cfg.shingle_k)
+        return cand_docs.withColumn("shingles", shingles_udf(F.col("text"))).join(
+            signatures.select("url", "simhash"), "url"
         )
 
     def _candidates(self, signatures: DataFrame) -> tuple[DataFrame, dict]:
@@ -188,12 +189,14 @@ class DedupPipeline:
             "candidates", fp_cands, build_cands, ["signatures"], counters=lambda: drops
         )
 
-        fp_pairs = self._fp("pairs", fp_cands)
+        fp_pairs = self._fp("pairs", fp_cands, fp_exact)
         pairs = self.ckpt.stage(
             "pairs",
             fp_pairs,
-            lambda: verify_candidates(candidates, signatures, cfg),
-            ["candidates", "signatures"],
+            lambda: verify_candidates(
+                candidates, self._cand_profiles(candidates, rep_docs, signatures), cfg
+            ),
+            ["candidates", "rep_docs", "signatures"],
         )
 
         fp_clusters = self._fp("clusters", fp_pairs, fp_exact)
