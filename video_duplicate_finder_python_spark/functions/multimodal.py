@@ -83,8 +83,9 @@ def decode_media(
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_bytes"].append(len(data))
-                out["features"].append(feats)
-            yield pd.DataFrame(out)
+                out["features"].append([float(x) for x in feats])
+            if out["key"]:  # empty frames get numpy dtypes Arrow can't cast
+                yield pd.DataFrame(out)
 
     return df.select(key_col, media_col).mapInPandas(
         decode_batches, schema=MEDIA_FEATURES_SCHEMA

@@ -25,7 +25,6 @@ from pyspark.sql import types as T
 
 from ..config import DedupConfig
 from ..functions.text import extract_text_udf
-from ..operators.incremental import incremental_signatures
 from ..operators.signature_stage import compute_signatures
 
 PAGES_SCHEMA = T.StructType(
@@ -99,13 +98,18 @@ class StreamingSignatureIngest:
             )
             delta_count = None
         else:
-            sigs, delta = incremental_signatures(
-                docs,
-                old,
-                lambda d: compute_signatures(
-                    d, self.cfg, keep_cols=["url", "content_hash", "text"]
-                ),
+            # upsert semantics, NOT snapshot semantics: a stream micro-batch
+            # carries only newly-landed pages, so a url being absent from
+            # the batch means "unchanged", not "deleted" (snapshot deletes
+            # are the batch path's incremental_signatures job).
+            keys = ["url", "content_hash"]
+            delta = docs.join(old.select(*keys), keys, "left_anti")
+            untouched = old.join(docs.select("url"), "url", "left_anti")
+            unchanged = old.join(docs.select(*keys), keys, "left_semi")
+            fresh = compute_signatures(
+                delta, self.cfg, keep_cols=["url", "content_hash", "text"]
             )
+            sigs = untouched.unionByName(unchanged).unionByName(fresh)
             delta_count = delta.count()
 
         path = self.store.swap_in(sigs)
