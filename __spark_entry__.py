@@ -177,10 +177,19 @@ def q_jaccard_pairs_brute(spark, sf_dir):
 def q_near_dup_pairs_lsh(spark, sf_dir):
     # the engine's own LSH + exact-verify path (SURVEY O5/O6/O7/O8); the
     # oracle is the brute-force SQL — matches because the seeded LSH family
-    # is deterministic and collides on every >=0.8 pair in this data
+    # is deterministic and collides on every >=0.8 pair in this data.
+    # res.pairs relates exact-group *representatives* (exact.py collapses
+    # identical texts first), so expand back to url-level pairs — members
+    # inherit their rep's jaccard, within-group pairs are 1.0 — before
+    # comparing against the all-urls brute-force oracle (ADVICE r1 #3).
+    from video_duplicate_finder_python_spark.operators.expand import (
+        expand_pairs_through_reps,
+    )
+
     res = _run_pipeline(spark, sf_dir)
+    url_pairs = expand_pairs_through_reps(res.pairs, res.exact_edges)
     return (
-        res.pairs.where(F.col("jaccard") >= DedupConfig().jaccard_threshold)
+        url_pairs.where(F.col("jaccard") >= DedupConfig().jaccard_threshold)
         .select(
             F.regexp_extract("url_a", r"(\d+)$", 1).cast("bigint").alias("doc_a"),
             F.regexp_extract("url_b", r"(\d+)$", 1).cast("bigint").alias("doc_b"),
@@ -328,7 +337,11 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_minhash_signatures(spark, sf_dir):
-    # SURVEY O2: 128-perm MinHash + 64-bit SimHash signatures
+    # SURVEY O2: 128-perm MinHash + 64-bit SimHash signatures. All columns
+    # are canonical scalars — the minhash array is folded to an md5 digest
+    # (the raw array<int> broke the driver's canonicalizer in round 1);
+    # determinism + Jaccard-estimation quality are pytest-verified
+    # (tests/test_signatures.py).
     from video_duplicate_finder_python_spark.functions.signatures import (
         make_text_signature_udf,
     )
@@ -338,7 +351,67 @@ def q_minhash_signatures(spark, sf_dir):
     return (
         _t(spark, sf_dir, "documents")
         .withColumn("sig", udf("text"))
-        .select("doc_id", "sig.n_shingles", "sig.simhash", "sig.minhash")
+        .select(
+            "doc_id",
+            "sig.n_shingles",
+            "sig.simhash",
+            F.md5(F.concat_ws(",", F.col("sig.minhash"))).alias("minhash_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_shingle_counts(spark, sf_dir):
+    # SURVEY O2, the SQL-expressible slice: the engine's own shingling UDF
+    # (distinct 5-word shingles per doc) against a pure-SQL DuckDB oracle.
+    # Counts agree unless two distinct shingle strings collide in the
+    # 64-bit rolling hash within one doc (odds ~m²/2^65 per doc, nil here).
+    from video_duplicate_finder_python_spark.functions.signatures import (
+        make_text_signature_udf,
+    )
+
+    cfg = DedupConfig()
+    udf = make_text_signature_udf(cfg.seed, cfg.num_perm, cfg.shingle_k)
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", udf("text").getField("n_shingles").alias("n_shingles"))
+        .orderBy("doc_id")
+    )
+
+
+def q_jaccard_clusters(spark, sf_dir):
+    # SURVEY O10: the engine's connected-components operator over
+    # brute-force Jaccard>=0.8 edges, vs a DuckDB recursive-CTE transitive
+    # closure — the independent oracle for the clustering semantics the
+    # flagship query relies on (reference merge loop:
+    # /root/reference/src/gui/main_window.py:224-264). Doc ids are
+    # zero-padded before CC (its min() is lexicographic on url strings) so
+    # min-string == min-numeric.
+    from video_duplicate_finder_python_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    d = _with_shingle_strings(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "text"
+    ).select("doc_id", "s")
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    edges = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .where((inter.cast("double") / union.cast("double")) >= 0.8)
+        .select(
+            F.lpad(F.col("doc_a").cast("string"), 12, "0").alias("u"),
+            F.lpad(F.col("doc_b").cast("string"), 12, "0").alias("v"),
+        )
+    )
+    return (
+        connected_components(edges)
+        .select(
+            F.col("url").cast("bigint").alias("doc_id"),
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        )
         .orderBy("doc_id")
     )
 
@@ -424,6 +497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_token_counts": q_regex_token_counts,
         "quality_scores": q_quality_scores,
         "dedup_clusters": q_dedup_clusters,
+        "jaccard_clusters": q_jaccard_clusters,
+        "shingle_counts": q_shingle_counts,
         "minhash_signatures": q_minhash_signatures,
         "cdc_fingerprints": q_cdc_fingerprints,
         "knn_cosine_q0": q_knn_cosine_q0,
@@ -489,6 +564,31 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY n_chars DESC, doc_id LIMIT 20"
         ),
         "jaccard_pairs_brute": _JACCARD_PAIRS + "ORDER BY jac DESC, doc_a, doc_b LIMIT 20",
+        "shingle_counts": (
+            _SHINGLE_CTE
+            + "SELECT doc_id, CAST(len(s) AS BIGINT) AS n_shingles "
+            + "FROM sh ORDER BY doc_id"
+        ),
+        "jaccard_clusters": (
+            "WITH RECURSIVE "
+            "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(t) >= 5 "
+            "THEN list_distinct(list_transform(generate_series(1, len(t) - 4), "
+            "i -> array_to_string(t[i:i+4], ' '))) "
+            "ELSE [array_to_string(t, ' ')] END AS s FROM toks), "
+            "jp AS (SELECT a.doc_id AS src, b.doc_id AS dst "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.s, b.s))::DOUBLE "
+            "/ (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.8), "
+            "edges AS (SELECT src, dst FROM jp UNION ALL SELECT dst, src FROM jp), "
+            "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+            "walk(node, reach) AS ("
+            "SELECT node, node FROM nodes "
+            "UNION "
+            "SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src) "
+            "SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id "
+            "FROM walk GROUP BY node ORDER BY doc_id"
+        ),
         "near_dup_pairs_lsh": (
             _SHINGLE_CTE
             + "SELECT doc_a, doc_b, jac FROM ("

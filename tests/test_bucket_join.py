@@ -7,7 +7,7 @@ from video_duplicate_finder_python_spark.operators.bucket_join import bucket_pai
 
 def _pairs(spark, rows, max_bucket_size=256):
     df = spark.createDataFrame(rows, ["key", "url"])
-    pairs, dropped = bucket_pairs(
+    pairs, dropped, _cached = bucket_pairs(
         df, key_cols=["key"], max_bucket_size=max_bucket_size
     )
     got = sorted((r["url_a"], r["url_b"]) for r in pairs.collect())

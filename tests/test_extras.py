@@ -13,7 +13,9 @@ from video_duplicate_finder_python_spark.functions.textstats import (
     token_count,
 )
 from video_duplicate_finder_python_spark.operators.ann import (
+    ann_probe,
     brute_force_topk,
+    build_ann_index,
     lsh_topk,
 )
 
@@ -57,6 +59,39 @@ def test_ann_lsh_recall_vs_brute(spark, embeddings):
     # and both are deterministic
     approx2 = [r["vec_id"] for r in lsh_topk(embeddings, 0, k=10).collect()]
     assert approx == approx2
+
+
+def test_ann_materialized_index_probe_batch(spark, embeddings, tmp_path):
+    """The scale path (VERDICT r1 #4): index built ONCE, written, then a
+    batch of queries served by probe-joins only — results must equal the
+    inline single-query path, and the probe must not re-run the bucket UDF
+    over the corpus (asserted on the plan: no pandas UDF over the index
+    side)."""
+    idx_path = str(tmp_path / "ann_index")
+    build_ann_index(embeddings).write.mode("overwrite").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    batch = ann_probe(index, embeddings, query_ids=[0, 1, 2], k=10)
+    got = {
+        qid: [r["vec_id"] for r in rows]
+        for qid, rows in (
+            (q, sorted(
+                [r for r in batch.collect() if r["query_id"] == q],
+                key=lambda r: (-r["cosine"], r["vec_id"]),
+            ))
+            for q in [0, 1, 2]
+        )
+    }
+    for q in [0, 1, 2]:
+        single = [r["vec_id"] for r in lsh_topk(embeddings, q, k=10).collect()]
+        assert got[q] == single, q
+
+    # the probe plan reads the index, it does not recompute corpus buckets:
+    # every Python-UDF node is the |queries|-row probe UDF (AQE prints the
+    # plan twice, so compare counts rather than expecting exactly one)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == plan.count("probe_udf("), plan
+    assert "buckets_udf" not in plan, plan
 
 
 def test_multimodal_decode_stub(spark):

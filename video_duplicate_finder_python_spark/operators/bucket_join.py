@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def bucket_pairs(
@@ -25,13 +26,23 @@ def bucket_pairs(
     id_col: str = "url",
     carry_cols: list[str] | None = None,
     max_bucket_size: int = 256,
-) -> tuple[DataFrame, DataFrame]:
+    persist: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """Emit candidate pairs from rows sharing ``key_cols``.
 
-    Returns ``(pairs, dropped)`` where ``pairs`` has columns
+    Returns ``(pairs, dropped, cached)`` where ``pairs`` has columns
     ``url_a, url_b`` (``url_a < url_b``) plus ``<c>_a / <c>_b`` for every
     carry column, and ``dropped`` is a 1-row DataFrame with the count of
     bucket members beyond the cap (a skew metric, SURVEY.md §4).
+
+    ``persist=True`` caches the windowed bucket table (MEMORY_AND_DISK) so
+    that running the ``pairs`` action and the ``dropped`` action doesn't
+    execute the explode+window shuffle twice — Spark does not reuse shuffle
+    output across separately-triggered jobs. The caller owns the returned
+    ``cached`` handle and must ``unpersist()`` it after both actions ran
+    (``cached`` is None when ``persist=False``). The cache is the banded
+    table (≈ rows × bands × ~24 B) and spills to disk, so it stays viable
+    at cluster scale; the alternative is accepting a 2× recompute.
     """
     carry_cols = carry_cols or []
     w = Window.partitionBy(*key_cols).orderBy(id_col)
@@ -39,6 +50,10 @@ def bucket_pairs(
         "_bsz", F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
     )
     multi = sized.filter(F.col("_bsz") >= 2)
+    cached = None
+    if persist:
+        multi = multi.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = multi
     kept = multi.filter(F.col("_rn") <= max_bucket_size)
     dropped = multi.filter(F.col("_rn") > max_bucket_size).select(
         F.count(F.lit(1)).alias("dropped_bucket_members")
@@ -61,4 +76,4 @@ def bucket_pairs(
         .where(F.col("_rn_a") < F.col("_rn_b"))
         .drop("_rn_a", "_rn_b", *key_cols)
     )
-    return pairs, dropped
+    return pairs, dropped, cached

@@ -13,8 +13,23 @@ the hot signature never reaches the pair-emitting self-join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def content_hash_col(text_col) -> Column:
+    """128-bit content identity: ``unhex(md5(text))`` (16-byte binary).
+
+    Why 128 bits and not ``xxhash64``: at the 10^12-doc target the birthday
+    bound over a 64-bit space yields tens of thousands of *expected* false
+    merges (~n²/2^65 pairs), and a collision here silently fuses two
+    unrelated documents into one "exact" group with no verification behind
+    it. At 128 bits the same bound is ~10^-15 — the reference makes the
+    identical width choice with its md5-based identity
+    (/root/reference/src/core/hasher.py:76). Binary (unhex) rather than the
+    hex string halves the shuffle-key bytes.
+    """
+    return F.unhex(F.md5(text_col))
 
 
 def exact_duplicate_groups(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -26,7 +41,7 @@ def exact_duplicate_groups(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     One shuffle on ``content_hash``; the follow-up join is co-partitioned.
     """
-    hashed = docs.withColumn("content_hash", F.xxhash64("text"))
+    hashed = docs.withColumn("content_hash", content_hash_col(F.col("text")))
     reps = hashed.groupBy("content_hash").agg(
         F.min("url").alias("rep_url"), F.count(F.lit(1)).alias("group_size")
     )

@@ -38,15 +38,17 @@ def explode_bands(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def minhash_band_candidates(
-    signatures: DataFrame, cfg: DedupConfig
-) -> tuple[DataFrame, DataFrame]:
-    """→ ``(pairs(url_a, url_b), dropped_metric)``; pairs are distinct."""
+    signatures: DataFrame, cfg: DedupConfig, persist: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+    """→ ``(pairs(url_a, url_b), dropped_metric, cached)``; pairs distinct.
+    ``persist``/``cached`` semantics per bucket_join.bucket_pairs."""
     bands = explode_bands(signatures, cfg)
-    pairs, dropped = bucket_pairs(
+    pairs, dropped, cached = bucket_pairs(
         bands,
         key_cols=["band_id", "band_hash"],
         max_bucket_size=cfg.max_bucket_size,
+        persist=persist,
     )
     # a pair can collide in several bands — keep one row (SURVEY O6's
     # global dropDuplicates)
-    return pairs.dropDuplicates(["url_a", "url_b"]), dropped
+    return pairs.dropDuplicates(["url_a", "url_b"]), dropped, cached

@@ -19,9 +19,9 @@ from .bucket_join import bucket_pairs
 
 
 def simhash_candidates(
-    signatures: DataFrame, cfg: DedupConfig
-) -> tuple[DataFrame, DataFrame]:
-    """→ ``(pairs(url_a, url_b, hamming), dropped_metric)``."""
+    signatures: DataFrame, cfg: DedupConfig, persist: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+    """→ ``(pairs(url_a, url_b, hamming), dropped_metric, cached)``."""
     chunks = cfg.simhash_chunks
     width = cfg.simhash_bits // chunks
     mask = (1 << width) - 1
@@ -38,11 +38,12 @@ def simhash_candidates(
         "url", "simhash", F.explode(F.array(*chunk_structs)).alias("_c")
     ).select("url", "simhash", "_c.chunk_id", "_c.chunk_value")
 
-    pairs, dropped = bucket_pairs(
+    pairs, dropped, cached = bucket_pairs(
         chunked,
         key_cols=["chunk_id", "chunk_value"],
         carry_cols=["simhash"],
         max_bucket_size=cfg.max_bucket_size,
+        persist=persist,
     )
     out = (
         pairs.withColumn(
@@ -53,4 +54,4 @@ def simhash_candidates(
         .select("url_a", "url_b", "hamming")
         .dropDuplicates(["url_a", "url_b"])
     )
-    return out, dropped
+    return out, dropped, cached

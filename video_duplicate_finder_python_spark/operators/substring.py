@@ -18,11 +18,11 @@ from .bucket_join import bucket_pairs
 
 
 def substring_candidates(
-    signatures: DataFrame, cfg: DedupConfig
-) -> tuple[DataFrame, DataFrame]:
-    """``signatures(url, fingerprints)`` → ``(pairs(url_a, url_b), dropped)``."""
+    signatures: DataFrame, cfg: DedupConfig, persist: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+    """``signatures(url, fingerprints)`` → ``(pairs, dropped, cached)``."""
     fps = signatures.select("url", F.explode("fingerprints").alias("fp"))
-    pairs, dropped = bucket_pairs(
-        fps, key_cols=["fp"], max_bucket_size=cfg.max_bucket_size
+    pairs, dropped, cached = bucket_pairs(
+        fps, key_cols=["fp"], max_bucket_size=cfg.max_bucket_size, persist=persist
     )
-    return pairs.dropDuplicates(["url_a", "url_b"]), dropped
+    return pairs.dropDuplicates(["url_a", "url_b"]), dropped, cached

@@ -91,11 +91,21 @@ def verify_candidates(
         "sources", "suffix"
     )
     span_udf = _make_span_udf(cfg.cdc_window, cfg.cdc_mask_bits)
-    fast = scored.where(~needs_lcs).withColumn("lcs_len", F.lit(None).cast("int"))
-    slow = scored.where(needs_lcs).withColumn(
-        "lcs_len", span_udf(F.col("_tx_a"), F.col("_tx_b"))
-    )
-    out = fast.unionByName(slow).withColumn(
+    # single pass, no filter/union branching: the old fast/slow split
+    # re-ran the candidates⋈profiles join twice (once per branch). The UDF
+    # is fed NULL texts for non-substring rows (the inner `when`s), so it
+    # returns immediately for them, and the outer `when` nulls the result —
+    # same output, one execution of the scored lineage.
+    out = scored.withColumn(
+        "lcs_len",
+        F.when(
+            needs_lcs,
+            span_udf(
+                F.when(needs_lcs, F.col("_tx_a")),
+                F.when(needs_lcs, F.col("_tx_b")),
+            ),
+        ).cast("int"),
+    ).withColumn(
         "is_dup",
         (F.col("jaccard") >= cfg.jaccard_threshold)
         | (F.coalesce(F.col("lcs_len"), F.lit(0)) >= cfg.substring_min_len),

@@ -80,12 +80,20 @@ class DedupPipeline:
 
     @staticmethod
     def input_digest(pages: DataFrame) -> str:
-        """Cheap input identity: row count + url hash-sum. Content staleness
-        is the incremental path's job (content_hash anti-join, SURVEY O3);
-        on Iceberg the snapshot id replaces this."""
+        """Cheap input identity: row count + hash-sum over (url, warc_ts).
+
+        ``warc_ts`` is the crawl timestamp — the mtime analog of the
+        reference's size+mtime staleness check (database.py:93-130) — so a
+        re-crawl written to the same urls invalidates every stage
+        fingerprint without scanning ``html`` bytes (the digest reads two
+        narrow columns; a content hash here would re-read the whole corpus
+        on every cached rerun). On Iceberg, pass the snapshot id as
+        ``input_token`` instead and skip this scan entirely. Byte-level
+        staleness beyond this is the incremental path's job (content_hash
+        anti-join, SURVEY O3)."""
         row = pages.select(
             F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.bit_xor(F.xxhash64("url")), F.lit(0)).alias("h"),
+            F.coalesce(F.bit_xor(F.xxhash64("url", "warc_ts")), F.lit(0)).alias("h"),
         ).first()
         return f"{row['n']}:{row['h']}"
 
@@ -125,11 +133,19 @@ class DedupPipeline:
             signatures.select("url", "simhash"), "url"
         )
 
-    def _candidates(self, signatures: DataFrame) -> tuple[DataFrame, dict]:
+    def _candidates(
+        self, signatures: DataFrame
+    ) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
+        """→ (candidates, drops_df, cached_handles).
+
+        Each source's windowed bucket table is persisted so the skew-drop
+        counters come from ONE extra job over cached partitions instead of
+        three jobs that each re-ran the band-explode + window shuffle (the
+        round-1 shape executed the most expensive lineage up to 4×)."""
         cfg = self.cfg
-        mh, mh_drop = minhash_band_candidates(signatures, cfg)
-        sh, sh_drop = simhash_candidates(signatures, cfg)
-        ss, ss_drop = substring_candidates(signatures, cfg)
+        mh, mh_drop, c1 = minhash_band_candidates(signatures, cfg, persist=True)
+        sh, sh_drop, c2 = simhash_candidates(signatures, cfg, persist=True)
+        ss, ss_drop, c3 = substring_candidates(signatures, cfg, persist=True)
         unioned = (
             mh.select("url_a", "url_b", F.lit("minhash").alias("source"))
             .unionByName(sh.select("url_a", "url_b", F.lit("simhash").alias("source")))
@@ -138,12 +154,14 @@ class DedupPipeline:
         cands = unioned.groupBy("url_a", "url_b").agg(
             F.collect_set("source").alias("sources")
         )
-        drops = {
-            "lsh_dropped_members": int(mh_drop.first()[0] or 0),
-            "simhash_dropped_members": int(sh_drop.first()[0] or 0),
-            "substring_dropped_members": int(ss_drop.first()[0] or 0),
-        }
-        return cands, drops
+        col0 = "dropped_bucket_members"
+        drops_df = (
+            mh_drop.select(F.lit("lsh").alias("src"), F.col(col0).alias("n"))
+            .unionByName(sh_drop.select(F.lit("simhash").alias("src"), F.col(col0).alias("n")))
+            .unionByName(ss_drop.select(F.lit("substring").alias("src"), F.col(col0).alias("n")))
+        )
+        caches = [c for c in (c1, c2, c3) if c is not None]
+        return cands, drops_df, caches
 
     # -- cancellation (SURVEY O19) ---------------------------------------------
     JOB_GROUP = "vdf-dedup-pipeline"
@@ -178,16 +196,27 @@ class DedupPipeline:
         )
 
         fp_cands = self._fp("candidates", fp_sigs)
-        drops: dict = {}
+        cands_lazy, drops_df, caches = self._candidates(signatures)
 
-        def build_cands() -> DataFrame:
-            c, d = self._candidates(signatures)
-            drops.update(d)
-            return c
+        def collect_drops() -> dict:
+            # one job over the persisted bucket tables (vs three re-runs of
+            # the band/window lineages in the round-1 shape)
+            return {
+                f"{r['src']}_dropped_members": int(r["n"] or 0)
+                for r in drops_df.collect()
+            }
 
-        candidates = self.ckpt.stage(
-            "candidates", fp_cands, build_cands, ["signatures"], counters=lambda: drops
-        )
+        try:
+            candidates = self.ckpt.stage(
+                "candidates",
+                fp_cands,
+                lambda: cands_lazy,
+                ["signatures"],
+                counters=collect_drops,
+            )
+        finally:
+            for c in caches:
+                c.unpersist()
 
         fp_pairs = self._fp("pairs", fp_cands, fp_exact)
         pairs = self.ckpt.stage(

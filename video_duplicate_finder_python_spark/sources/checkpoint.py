@@ -22,7 +22,6 @@ from pathlib import Path
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 @dataclass
@@ -64,13 +63,25 @@ class CheckpointManager:
         except (json.JSONDecodeError, OSError):
             return None
 
-    def _partition_counts(self, df: DataFrame) -> list[dict]:
-        rows = (
-            df.groupBy(F.spark_partition_id().alias("id"))
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .collect()
-        )
-        return [{"id": int(r["id"]), "rows": int(r["rows"])} for r in rows]
+    @staticmethod
+    def _footer_partition_counts(path: str) -> tuple[int, list[dict]]:
+        """Per-partition row counts + total from the parquet footers of the
+        freshly-written checkpoint — pure driver-side metadata reads, zero
+        Spark jobs (each ``part-*`` file is one write-task's partition).
+        The round-1 shape ran a count() job plus a groupBy(partition_id)
+        job per stage; those two extra actions per stage were the largest
+        chunk of the serial residue that held scaling efficiency under the
+        0.8 bar. On Iceberg the manifest row counts provide the same
+        numbers, also without a scan."""
+        import pyarrow.parquet as pq
+
+        parts = []
+        total = 0
+        for i, f in enumerate(sorted(Path(path).glob("part-*"))):
+            n = pq.ParquetFile(f).metadata.num_rows
+            total += n
+            parts.append({"id": i, "rows": int(n)})
+        return total, parts
 
     # -- public ------------------------------------------------------------
     def stage(
@@ -112,8 +123,7 @@ class CheckpointManager:
             path = str(self.base_dir / name)
             df.write.mode("overwrite").parquet(path)
             out = self.spark.read.parquet(path)
-            rows = out.count()
-            parts = self._partition_counts(out)
+            rows, parts = self._footer_partition_counts(path)
         wall = time.monotonic() - t0
 
         m = StageMetrics(

@@ -25,6 +25,7 @@ from pyspark.sql import types as T
 
 from ..config import DedupConfig
 from ..functions.text import extract_text_udf
+from ..operators.exact import content_hash_col
 from ..operators.signature_stage import compute_signatures
 
 PAGES_SCHEMA = T.StructType(
@@ -89,7 +90,7 @@ class StreamingSignatureIngest:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         docs = batch_df.select(
             "url", extract_text_udf(F.col("html")).alias("text")
-        ).withColumn("content_hash", F.xxhash64("text"))
+        ).withColumn("content_hash", content_hash_col(F.col("text")))
 
         old = self.store.read()
         if old is None:
