@@ -295,6 +295,30 @@ def q_knn_dot_q0(spark, sf_dir):
     )
 
 
+def q_embedding_dot_pairs(spark, sf_dir):
+    # embedding-space near-dup pairs (training-pipeline brief): all-pairs
+    # similarity self-join on exact integer-quantized dot product — the
+    # correctness baseline; the scale path for the same semantics is
+    # build_ann_index + ann_probe (operators/ann.py), which prunes the
+    # cross join to LSH-bucket collisions
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qe")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("qe").alias("qa"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("qe").alias("qb"))
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", dot.alias("dot"))
+        .where(F.col("dot") >= 450000000000)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def q_doc_previews(spark, sf_dir):
     # SURVEY O17 analog: per-item preview artifact (snippet column)
     return _t(spark, sf_dir, "documents").select(
@@ -492,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": q_latest_event_per_user,
         "customers_without_orders": q_customers_without_orders,
         "knn_dot_q0": q_knn_dot_q0,
+        "embedding_dot_pairs": q_embedding_dot_pairs,
         "doc_previews": q_doc_previews,
         "lang_id_guess": q_lang_id_guess,
         "regex_token_counts": q_regex_token_counts,
@@ -644,6 +669,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, CAST(list_sum(list_transform("
             "  generate_series(1, len(ee)), i -> ee[i] * qe[i])) AS BIGINT) AS dot_q0 "
             "FROM ez, qz ORDER BY dot_q0 DESC, vec_id LIMIT 10"
+        ),
+        "embedding_dot_pairs": (
+            "WITH ez AS (SELECT vec_id, list_transform(embedding, "
+            "  x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e "
+            "  FROM embeddings) "
+            "SELECT vec_a, vec_b, dot FROM ("
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "CAST(list_sum(list_transform(generate_series(1, len(a.e)), "
+            "  i -> a.e[i] * b.e[i])) AS BIGINT) AS dot "
+            "FROM ez a JOIN ez b ON a.vec_id < b.vec_id) "
+            "WHERE dot >= 450000000000 ORDER BY vec_a, vec_b"
         ),
         "doc_previews": (
             "SELECT doc_id, substr(text, 1, 200) AS preview "

@@ -1,6 +1,11 @@
 """Driver bench harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric", "value", "unit", "queries": {name: sec}, "sf", ...}.
+
+Timing forces FULL execution of every projected column via a noop-format
+write: the round-1 harness timed ``.count()``, and Catalyst prunes
+deterministic projections under count(1) — so the md5/shingle/MinHash/CDC
+queries were benchmarked as bare parquet row-counts (round-1 advice item).
 """
 
 from __future__ import annotations
@@ -8,6 +13,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -16,12 +22,21 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from bench_core import make_session, run_dedup_pipeline  # noqa: E402
 
 
+def force(df) -> None:
+    """Execute the full plan incl. every projected column (no sink IO)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     import __spark_entry__ as entrymod
+    from video_duplicate_finder_python_spark.operators.ann import (
+        ann_probe,
+        build_ann_index,
+    )
     from video_duplicate_finder_python_spark.sources.pages import documents_as_pages
 
     spark = make_session(cpus)
@@ -52,8 +67,21 @@ def main() -> None:
     all_queries = entrymod.queries()
     for name in bench_names:
         t0 = time.monotonic()
-        n = all_queries[name](spark, sf_dir).count()
+        force(all_queries[name](spark, sf_dir))
         queries[name] = round(time.monotonic() - t0, 3)
+
+    # ANN scale path: ONE index build (corpus UDF pass) amortized over a
+    # probe-join query batch — probe must cost a small fraction of build
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with tempfile.TemporaryDirectory() as tmp:
+        idx_path = f"{tmp}/ann_index"
+        t0 = time.monotonic()
+        build_ann_index(emb).write.mode("overwrite").parquet(idx_path)
+        queries["ann_build_index"] = round(time.monotonic() - t0, 3)
+        index = spark.read.parquet(idx_path)
+        t0 = time.monotonic()
+        force(ann_probe(index, emb, query_ids=list(range(8)), k=10))
+        queries["ann_probe_batch8"] = round(time.monotonic() - t0, 3)
 
     total = time.monotonic() - t_total0
     out = {

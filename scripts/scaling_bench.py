@@ -2,10 +2,12 @@
 
 No real multi-executor cluster exists in this sandbox, so the two-cluster-
 size criterion (N vs 4N executors, efficiency >= 0.8) is evidenced by
-running the SAME dedup job on the SAME parquet input at local[8] and
-local[32] in separate JVMs (subprocess per level, so neither run inherits
+running the SAME dedup job on the SAME parquet input at local[N] and
+local[4N] in separate JVMs (subprocess per level, so neither run inherits
 the other's warmed JVM), reporting throughput at both plus
-efficiency = (thr@32 / thr@8) / 4 into BENCH/BASELINE.md.
+efficiency = (thr@4N / thr@N) / 4 into BENCH/BASELINE.md. Defaults are
+N=2 vs 4N=8 — levels above ~16 threads on this box measure neighbor-load
+contention and hyperthread sharing, not the job (see usage note below).
 
 Usage: python scripts/scaling_bench.py [n_docs] [N] [four_n]
        (defaults: 20000 docs, N=2, 4N=8 — both levels sit inside the

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from video_duplicate_finder_python_spark.config import DedupConfig
 from video_duplicate_finder_python_spark.functions.signatures import (
+    batch_shingle_hashes,
     make_shingles_udf,
     make_text_signature_udf,
     minhash_of,
@@ -102,3 +103,23 @@ def test_shingle_hashes_np_matches_oracle_counts():
     fresh = shingle_hashes_np("a b c d e f g h", 5, {})
     cached = shingle_hashes_np("a b c d e f g h", 5, cache)
     assert fresh.tolist() == cached.tolist()
+
+
+def test_batch_shingle_hashes_bit_identical():
+    """The factorized batch path (VERDICT r1 #8) must reproduce the
+    single-doc path bit-for-bit — same blake2b token hashes, same rolling
+    polynomial — including empty/short/duplicate-token docs."""
+    texts = [
+        "a b c d e f g h",
+        "",
+        None,
+        "one two three",
+        "x x x x x x x",
+        "a b c d e f g h",          # repeated doc: shared vocabulary
+        "the quick brown fox jumps over the lazy dog again and again",
+    ]
+    batch = batch_shingle_hashes(texts, 5)
+    for t, got in zip(texts, batch):
+        ref = shingle_hashes_np(t, 5, {})
+        assert got.dtype == np.uint64
+        assert got.tolist() == ref.tolist(), t

@@ -16,6 +16,6 @@ Reference parity map lives in SURVEY.md §2 (operators O1–O19).
 
 from .config import DedupConfig
 from .session import get_spark
-from .plans.pipeline import DedupPipeline
+from .plans.pipeline import DedupPipeline, PipelineCancelled
 
-__all__ = ["DedupConfig", "get_spark", "DedupPipeline"]
+__all__ = ["DedupConfig", "get_spark", "DedupPipeline", "PipelineCancelled"]

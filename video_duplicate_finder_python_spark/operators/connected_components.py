@@ -56,15 +56,19 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     no row, matching the reference: files in no duplicate pair join no
     group).
     """
+    # lazy localCheckpoint: the digest action right after materializes the
+    # round's edges AND truncates lineage in the same job — eager=True
+    # spent a second driver-blocking action per round, pure serial latency
+    # in the otherwise-parallel loop (round-1 scaling residue)
     e = (
         edges.where(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     digest = _edge_digest(e)
     for _ in range(max_iter):
-        e_next = _small_star(_large_star(e)).localCheckpoint()
+        e_next = _small_star(_large_star(e)).localCheckpoint(eager=False)
         next_digest = _edge_digest(e_next)
         e = e_next
         if next_digest == digest:

@@ -62,16 +62,29 @@ class PipelineResult:
         }
 
 
+class PipelineCancelled(RuntimeError):
+    """Raised between stages after ``DedupPipeline.cancel()`` — the
+    distributed analog of the reference's ``_stop_requested`` checks
+    between pipeline steps (/root/reference/src/core/scanner.py:50-51,84).
+    Completed stage checkpoints survive; a rerun resumes from them."""
+
+
 class DedupPipeline:
     def __init__(
         self,
         spark: SparkSession,
         cfg: DedupConfig | None = None,
         checkpoint_dir: str | None = None,
+        on_stage_start=None,
     ):
+        """``on_stage_start(stage_name)`` is the progress stream (SURVEY
+        O18, the reference's ``progress_callback`` at scanner.py:105-107):
+        invoked as each stage begins, before any job is submitted."""
         self.spark = spark
         self.cfg = cfg or DedupConfig()
         self.ckpt = CheckpointManager(spark, checkpoint_dir)
+        self.on_stage_start = on_stage_start
+        self._cancelled = False
 
     # -- fingerprints --------------------------------------------------------
     def _fp(self, stage: str, *parents: str, extra: str = "") -> str:
@@ -168,9 +181,20 @@ class DedupPipeline:
 
     def cancel(self) -> None:
         """Cooperative cancellation — the distributed analog of the
-        reference's _stop_requested flag (scanner.py:145-147). Completed
-        stage checkpoints survive, so a restart resumes where it stopped."""
+        reference's _stop_requested flag (scanner.py:145-147). Two levers:
+        the flag aborts between stages (checked in ``_stage``); the
+        job-group cancel kills tasks already running on the cluster.
+        Completed stage checkpoints survive, so a restart resumes where it
+        stopped (asserted by tests/test_cancellation.py)."""
+        self._cancelled = True
         self.spark.sparkContext.cancelJobGroup(self.JOB_GROUP)
+
+    def _stage(self, name, fingerprint, build, lineage=None, counters=None):
+        if self._cancelled:
+            raise PipelineCancelled(f"cancelled before stage {name!r}")
+        if self.on_stage_start is not None:
+            self.on_stage_start(name)
+        return self.ckpt.stage(name, fingerprint, build, lineage, counters)
 
     # -- run -------------------------------------------------------------------
     def run(self, pages: DataFrame, input_token: str | None = None) -> PipelineResult:
@@ -178,20 +202,21 @@ class DedupPipeline:
         self.spark.sparkContext.setJobGroup(
             self.JOB_GROUP, "near-duplicate detection pipeline", True
         )
+        self._cancelled = False
         token = input_token if input_token is not None else self.input_digest(pages)
 
         fp_docs = self._fp("docs", extra=token)
-        docs = self.ckpt.stage("docs", fp_docs, lambda: self._extract(pages))
+        docs = self._stage("docs", fp_docs, lambda: self._extract(pages))
 
         fp_exact = self._fp("exact", fp_docs)
         rep_docs_lazy, exact_edges_lazy = exact_duplicate_groups(docs)
-        rep_docs = self.ckpt.stage("rep_docs", fp_exact, lambda: rep_docs_lazy, ["docs"])
-        exact_edges = self.ckpt.stage(
+        rep_docs = self._stage("rep_docs", fp_exact, lambda: rep_docs_lazy, ["docs"])
+        exact_edges = self._stage(
             "exact_edges", fp_exact, lambda: exact_edges_lazy, ["docs"]
         )
 
         fp_sigs = self._fp("signatures", fp_exact)
-        signatures = self.ckpt.stage(
+        signatures = self._stage(
             "signatures", fp_sigs, lambda: self._signatures(rep_docs), ["rep_docs"]
         )
 
@@ -207,7 +232,7 @@ class DedupPipeline:
             }
 
         try:
-            candidates = self.ckpt.stage(
+            candidates = self._stage(
                 "candidates",
                 fp_cands,
                 lambda: cands_lazy,
@@ -219,7 +244,7 @@ class DedupPipeline:
                 c.unpersist()
 
         fp_pairs = self._fp("pairs", fp_cands, fp_exact)
-        pairs = self.ckpt.stage(
+        pairs = self._stage(
             "pairs",
             fp_pairs,
             lambda: verify_candidates(
@@ -238,7 +263,7 @@ class DedupPipeline:
             )
             return connected_components(edges)
 
-        clusters = self.ckpt.stage(
+        clusters = self._stage(
             "clusters", fp_clusters, build_clusters, ["pairs", "exact_edges"]
         )
 

@@ -116,7 +116,10 @@ class CheckpointManager:
         extra = counters() if counters is not None else {}
 
         if self.base_dir is None:
-            out = df.localCheckpoint()
+            # lazy checkpoint + count: materialization and row counting in
+            # ONE job (eager localCheckpoint followed by count() was two
+            # driver-blocking actions per stage — serial scaling residue)
+            out = df.localCheckpoint(eager=False)
             rows = out.count()
             parts = []
         else:
