@@ -353,9 +353,15 @@ def q_quality_scores(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-# ---- engine-native queries (rows-only checks: no SQL equivalent) ----------
 def q_dedup_clusters(spark, sf_dir):
-    # SURVEY O10: full pipeline cluster assignment
+    # THE flagship: full DedupPipeline cluster assignment (SURVEY O10 over
+    # O1..O8 outputs), oracled by a DuckDB recursive-CTE transitive closure
+    # of the brute-force jaccard>=0.8 graph over url strings. The closure
+    # is the exact expected output at this SF because the corpus plants no
+    # substring-only (LCS) duplicates there — verified: zero is_dup pairs
+    # with jaccard<0.8 and zero exact-collapse edges at sf0.01/sf0.001;
+    # the substring and exact classes are pytest-verified on the planted
+    # corpus instead (tests/test_pipeline_end_to_end.py).
     res = _run_pipeline(spark, sf_dir)
     return res.clusters.orderBy("url")
 
@@ -593,6 +599,27 @@ def oracle_sql() -> dict[str, str]:
             _SHINGLE_CTE
             + "SELECT doc_id, CAST(len(s) AS BIGINT) AS n_shingles "
             + "FROM sh ORDER BY doc_id"
+        ),
+        "dedup_clusters": (
+            "WITH RECURSIVE "
+            "toks AS (SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url, "
+            "string_split(text, ' ') AS t FROM documents), "
+            "sh AS (SELECT url, CASE WHEN len(t) >= 5 "
+            "THEN list_distinct(list_transform(generate_series(1, len(t) - 4), "
+            "i -> array_to_string(t[i:i+4], ' '))) "
+            "ELSE [array_to_string(t, ' ')] END AS s FROM toks), "
+            "jp AS (SELECT a.url AS src, b.url AS dst "
+            "FROM sh a JOIN sh b ON a.url < b.url "
+            "WHERE len(list_intersect(a.s, b.s))::DOUBLE "
+            "/ (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.8), "
+            "edges AS (SELECT src, dst FROM jp UNION ALL SELECT dst, src FROM jp), "
+            "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+            "walk(node, reach) AS ("
+            "SELECT node, node FROM nodes "
+            "UNION "
+            "SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src) "
+            "SELECT node AS url, min(reach) AS cluster_id "
+            "FROM walk GROUP BY node ORDER BY url"
         ),
         "jaccard_clusters": (
             "WITH RECURSIVE "

@@ -60,6 +60,36 @@ def test_exact_edges_are_exact(pipeline_result, corpus):
         assert r["v"] < r["u"]  # representative is the min url
 
 
+def test_expanded_pairs_cover_exact_dup_members(pipeline_result, oracle_result):
+    """ADVICE r1 #3 end-to-end: res.pairs relates exact-group reps only;
+    after expansion through exact_edges the url-level dup-pair set must
+    cover every planted pair whose true jaccard >= threshold — including
+    pairs where one or both members were collapsed as exact duplicates."""
+    from video_duplicate_finder_python_spark.operators.expand import (
+        expand_pairs_through_reps,
+    )
+
+    expanded = expand_pairs_through_reps(
+        pipeline_result.pairs, pipeline_result.exact_edges
+    )
+    got = {
+        (r["url_a"], r["url_b"])
+        for r in expanded.where("is_dup").select("url_a", "url_b").collect()
+    }
+    cfg = DedupConfig()
+    required = oracle_result.pairs[
+        oracle_result.pairs["jaccard_true"] >= cfg.jaccard_threshold
+    ]
+    exact_required = required[required["kind"] == "exact"]
+    assert len(exact_required) > 0, "corpus must plant exact duplicates"
+    missing = [
+        (r.url_a, r.url_b)
+        for r in required.itertuples(index=False)
+        if (r.url_a, r.url_b) not in got
+    ]
+    assert not missing, missing[:5]
+
+
 def test_stage_metrics_emitted(pipeline_result):
     m = pipeline_result.metrics
     for stage in ["docs", "rep_docs", "exact_edges", "signatures", "candidates", "pairs", "clusters"]:
