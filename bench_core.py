@@ -13,15 +13,23 @@ import time
 from pyspark.sql import functions as F
 
 from video_duplicate_finder_python_spark import DedupConfig, DedupPipeline, get_spark
+from video_duplicate_finder_python_spark.session import warm_python_workers
 from video_duplicate_finder_python_spark.sources.pages import documents_as_pages
 
 
 def make_session(cpus: int):
-    return get_spark(
+    # shuffle partitions scale with the level (2x cores), as they would on
+    # a real N- vs 4N-executor cluster; floor of 8 keeps tiny runs sane.
+    # Python workers are pre-warmed so their one-time numpy/pandas import
+    # cost (session setup, constant per executor on a real cluster) is not
+    # billed to the first UDF stage of the measured job.
+    spark = get_spark(
         app_name=f"vdf-bench-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 8),
+        shuffle_partitions=max(2 * cpus, 8),
     )
+    warm_python_workers(spark, cpus)
+    return spark
 
 
 def run_dedup_pipeline(spark, pages_df) -> dict:

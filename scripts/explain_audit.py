@@ -1,0 +1,149 @@
+"""Plan audit: print the physical-plan properties the scale design relies
+on, so regressions in pushdown / broadcast / UDF placement are visible.
+
+Checks (exit 1 on violation):
+- pages scan with a lang filter shows PushedFilters at the parquet scan
+- pages scan never reads `html` when the query doesn't need it (ReadSchema)
+- ann_probe's only Python UDF is the |queries|-row probe UDF; the index
+  side is scanned UDF-free and the probe side is broadcast
+- verify plan contains exactly one pandas-UDF node (single-pass LCS), not
+  the round-1 two-branch shape that ran the profiles join twice
+- the candidate union's band explode happens without a pre-shuffle
+  (no Exchange between the signatures scan and Generate)
+
+Usage: python scripts/explain_audit.py [sf_dir]   (default sf0.001)
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+failures: list[str] = []
+
+
+def check(name: str, ok: bool, detail: str = "") -> None:
+    print(f"  [{'OK ' if ok else 'FAIL'}] {name}")
+    if not ok:
+        failures.append(name)
+        if detail:
+            print(detail[:2000])
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from video_duplicate_finder_python_spark import DedupConfig, get_spark
+    from video_duplicate_finder_python_spark.operators.ann import (
+        ann_probe,
+        build_ann_index,
+    )
+    from video_duplicate_finder_python_spark.operators.lsh import explode_bands
+    from video_duplicate_finder_python_spark.operators.signature_stage import (
+        compute_signatures,
+    )
+    from video_duplicate_finder_python_spark.operators.verify import verify_candidates
+    from video_duplicate_finder_python_spark.sources.pages import (
+        documents_as_pages,
+        read_pages,
+    )
+
+    spark = get_spark(master="local[4]", shuffle_partitions=8)
+    cfg = DedupConfig()
+
+    # 1. predicate pushdown on the pages source
+    pages_path = f"{SF_DIR}/documents.parquet"
+    docs = read_pages(spark, pages_path, langs=None)
+    lang_plan = (
+        documents_as_pages(spark, SF_DIR)
+        .where(F.col("lang") == "en")
+        .select("url")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "lang filter pushed to parquet scan",
+        "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in lang_plan
+        or "EqualTo(lang,en)" in lang_plan,
+        lang_plan,
+    )
+
+    # 2. column pruning: url-only projection must not read text/html
+    prune_plan = (
+        documents_as_pages(spark, SF_DIR)
+        .select("url")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "url-only projection prunes text column at scan",
+        "ReadSchema: struct<doc_id:bigint>" in prune_plan,
+        prune_plan,
+    )
+
+    # 3. ANN probe: no corpus-side UDF, probe side broadcast
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx_path = "/tmp/vdf_explain_ann_idx"
+    build_ann_index(emb).write.mode("overwrite").parquet(idx_path)
+    probe_plan = (
+        ann_probe(spark.read.parquet(idx_path), emb, [0, 1], k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "ann_probe: every Python UDF is the probe UDF",
+        probe_plan.count("ArrowEvalPython") == probe_plan.count("probe_udf(")
+        and "buckets_udf" not in probe_plan,
+        probe_plan,
+    )
+    check("ann_probe: probe side broadcast", "BroadcastHashJoin" in probe_plan, probe_plan)
+
+    # 4. verify: single pandas-UDF node (single-pass slow path)
+    pages = documents_as_pages(spark, SF_DIR)
+    docs_df = pages.select("url", F.col("text"))
+    sigs = compute_signatures(docs_df, cfg, keep_cols=["url", "text"])
+    cands = spark.createDataFrame(
+        [("a", "b", ["suffix"])], "url_a string, url_b string, sources array<string>"
+    )
+    from video_duplicate_finder_python_spark.functions.signatures import (
+        make_shingles_udf,
+    )
+
+    profiles = docs_df.withColumn(
+        "shingles", make_shingles_udf(cfg.shingle_k)(F.col("text"))
+    ).withColumn("simhash", F.lit(0).cast("long"))
+    verify_plan = (
+        verify_candidates(cands, profiles, cfg)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    check(
+        "verify: one span_udf evaluation (no fast/slow double join)",
+        verify_plan.count("span_udf") <= 1,
+        verify_plan,
+    )
+
+    # 5. band explode runs directly on the scan side (no Exchange before
+    #    Generate in the optimized plan fragment)
+    bands_plan = (
+        explode_bands(sigs, cfg)._jdf.queryExecution().executedPlan().toString()
+    )
+    gen_pos = bands_plan.find("Generate explode")
+    exch_pos = bands_plan.find("Exchange")
+    check(
+        "band explode before any shuffle",
+        gen_pos != -1 and (exch_pos == -1 or exch_pos > gen_pos),
+        bands_plan,
+    )
+
+    print()
+    if failures:
+        print(f"{len(failures)} PLAN VIOLATIONS: {failures}")
+        sys.exit(1)
+    print("all plan checks pass")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from video_duplicate_finder_python_spark.corpus import generate_corpus, pages_spark_df
 from video_duplicate_finder_python_spark.functions.text import (
     extract_text_bytes,
+    extract_text_col,
     extract_text_udf,
 )
 
@@ -37,13 +38,24 @@ def test_udf_matches_pure_function(spark):
     assert got == want
 
 
+def test_jvm_column_matches_pure_function(spark):
+    """The codegen hot path (extract_text_col) must agree byte-for-byte
+    with the pure function on every edge case, including NULL html."""
+    df = spark.createDataFrame([(h,) for h, _ in CASES] + [(None,)], ["html"])
+    got = [r["t"] for r in df.select(extract_text_col(F.col("html")).alias("t")).collect()]
+    want = [extract_text_bytes(h) for h, _ in CASES] + [None]
+    assert got == want
+
+
 def test_corpus_roundtrip_byte_identical(spark):
-    """extract_text(html) must equal the pages table's text column, per url."""
+    """extract_text(html) must equal the pages table's text column, per
+    url — for BOTH the pandas-UDF path and the JVM Column path."""
     corpus = generate_corpus(seed=11, n_docs=60)
     pages = pages_spark_df(spark, corpus)
     bad = (
-        pages.withColumn("extracted", extract_text_udf("html"))
-        .where(F.col("extracted") != F.col("text"))
+        pages.withColumn("u", extract_text_udf("html"))
+        .withColumn("j", extract_text_col(F.col("html")))
+        .where((F.col("u") != F.col("text")) | (F.col("j") != F.col("text")))
         .count()
     )
     assert bad == 0

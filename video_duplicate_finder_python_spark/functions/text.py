@@ -16,6 +16,20 @@ the page template holds):
 2. if a ``<body>…</body>`` element exists, keep only its inner content
 3. drop ``<script>…</script>`` / ``<style>…</style>`` blocks
 4. strip all remaining tags
+
+Three implementations that must agree byte-for-byte (asserted in
+tests/test_extract.py):
+
+- ``extract_text_bytes`` — single-row pure function (oracle + tests)
+- ``extract_text_udf``   — Arrow-batched pandas UDF (parity reference)
+- ``extract_text_col``   — pure JVM Column expression (THE hot path):
+  codegen'd ``regexp_extract``/``regexp_replace``, so the html bytes never
+  cross the JVM→Arrow→Python boundary at all. At 200k×8KB pages the UDF
+  path moves ~3.2 GB through Python workers per run; the Column path moves
+  zero. Java and Python regex agree on every construct used here
+  ((?is), lazy quantifiers, \\b, [^>]); UTF-8 decode parity holds for
+  valid UTF-8 input (malformed sequences may differ in U+FFFD counts —
+  WARC extractors should pre-validate encoding upstream).
 """
 
 from __future__ import annotations
@@ -23,6 +37,7 @@ from __future__ import annotations
 import re
 
 import pandas as pd
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -51,3 +66,20 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     s = body.where(body.notna(), s)
     s = s.str.replace(_SCRIPT_STYLE_RE, "", regex=True)
     return s.str.replace(_TAG_RE, "", regex=True)
+
+
+_BODY_PAT = r"(?is)<body[^>]*>(.*?)</body>"
+_SCRIPT_STYLE_PAT = r"(?is)<script\b.*?</script>|<style\b.*?</style>"
+_TAG_PAT = r"<[^>]*>"
+
+
+def extract_text_col(html: Column) -> Column:
+    """JVM-side extraction (whole-stage codegen, zero Python transfer);
+    byte-identical to extract_text_bytes for valid-UTF-8 input."""
+    s = html.cast("string")  # UTF-8 decode, U+FFFD replacement
+    body = F.regexp_extract(s, _BODY_PAT, 1)
+    kept = F.when(s.rlike(_BODY_PAT), body).otherwise(s)
+    stripped = F.regexp_replace(
+        F.regexp_replace(kept, _SCRIPT_STYLE_PAT, ""), _TAG_PAT, ""
+    )
+    return F.when(html.isNull(), F.lit(None).cast("string")).otherwise(stripped)

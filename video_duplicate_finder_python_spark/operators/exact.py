@@ -32,12 +32,10 @@ def content_hash_col(text_col) -> Column:
     return F.unhex(F.md5(text_col))
 
 
-def exact_duplicate_groups(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """``docs(url, text, ...)`` → ``(rep_docs, exact_edges)``.
-
-    - ``rep_docs``: one row per distinct ``content_hash`` — the min-url
-      representative, with ``url, text, content_hash, group_size``.
-    - ``exact_edges``: ``(u, v)`` star edges member → representative.
+def exact_representatives(docs: DataFrame) -> DataFrame:
+    """``docs(url, text, ...)`` → ``rep_docs``: one row per distinct
+    ``content_hash`` — the min-url representative, with
+    ``url, text, content_hash, group_size``.
 
     One shuffle on ``content_hash``; the follow-up join is co-partitioned.
     """
@@ -45,13 +43,34 @@ def exact_duplicate_groups(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     reps = hashed.groupBy("content_hash").agg(
         F.min("url").alias("rep_url"), F.count(F.lit(1)).alias("group_size")
     )
-    joined = hashed.join(reps, "content_hash")
-    rep_docs = (
-        joined.where(F.col("url") == F.col("rep_url"))
+    return (
+        hashed.join(reps, "content_hash")
+        .where(F.col("url") == F.col("rep_url"))
         .drop("rep_url")
     )
-    exact_edges = (
-        joined.where(F.col("url") != F.col("rep_url"))
+
+
+def exact_edges_from(docs: DataFrame, rep_docs: DataFrame) -> DataFrame:
+    """``(u, v)`` member→representative star edges, derived from the
+    already-materialized ``rep_docs``: only representatives of real
+    duplicate groups (``group_size > 1``) join back against the docs — a
+    join whose build side is the (small) dup-group set, not a re-run of
+    the whole groupBy+join (the round-1 shape materialized that expensive
+    lineage twice, once per stage checkpoint)."""
+    dup_reps = rep_docs.where(F.col("group_size") > 1).select(
+        "content_hash", F.col("url").alias("rep_url")
+    )
+    hashed = docs.withColumn("content_hash", content_hash_col(F.col("text")))
+    return (
+        hashed.join(dup_reps, "content_hash")
+        .where(F.col("url") != F.col("rep_url"))
         .select(F.col("url").alias("u"), F.col("rep_url").alias("v"))
     )
-    return rep_docs, exact_edges
+
+
+def exact_duplicate_groups(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """``docs(url, text, ...)`` → ``(rep_docs, exact_edges)``; see
+    exact_representatives / exact_edges_from (composed here for callers
+    that don't stage-checkpoint the intermediate)."""
+    rep_docs = exact_representatives(docs)
+    return rep_docs, exact_edges_from(docs, rep_docs)

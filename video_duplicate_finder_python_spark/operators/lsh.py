@@ -38,10 +38,19 @@ def explode_bands(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def minhash_band_candidates(
-    signatures: DataFrame, cfg: DedupConfig, persist: bool = False
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    persist: bool = False,
+    dedup: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
-    """→ ``(pairs(url_a, url_b), dropped_metric, cached)``; pairs distinct.
-    ``persist``/``cached`` semantics per bucket_join.bucket_pairs."""
+    """→ ``(pairs(url_a, url_b), dropped_metric, cached)``.
+    ``persist``/``cached`` semantics per bucket_join.bucket_pairs.
+
+    A pair can collide in several bands; ``dedup=True`` keeps one row
+    (SURVEY O6's global dropDuplicates). The pipeline passes ``dedup=False``
+    because its source-union groupBy deduplicates all three candidate
+    sources in ONE shuffle — a per-source dropDuplicates there would be a
+    pure extra shuffle of the largest intermediate."""
     bands = explode_bands(signatures, cfg)
     pairs, dropped, cached = bucket_pairs(
         bands,
@@ -49,6 +58,6 @@ def minhash_band_candidates(
         max_bucket_size=cfg.max_bucket_size,
         persist=persist,
     )
-    # a pair can collide in several bands — keep one row (SURVEY O6's
-    # global dropDuplicates)
-    return pairs.dropDuplicates(["url_a", "url_b"]), dropped, cached
+    if dedup:
+        pairs = pairs.dropDuplicates(["url_a", "url_b"])
+    return pairs, dropped, cached

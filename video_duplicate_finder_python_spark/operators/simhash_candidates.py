@@ -19,9 +19,14 @@ from .bucket_join import bucket_pairs
 
 
 def simhash_candidates(
-    signatures: DataFrame, cfg: DedupConfig, persist: bool = False
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    persist: bool = False,
+    dedup: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
-    """→ ``(pairs(url_a, url_b, hamming), dropped_metric, cached)``."""
+    """→ ``(pairs(url_a, url_b, hamming), dropped_metric, cached)``.
+    ``dedup=False`` skips the per-source dropDuplicates shuffle (see
+    lsh.minhash_band_candidates)."""
     chunks = cfg.simhash_chunks
     width = cfg.simhash_bits // chunks
     mask = (1 << width) - 1
@@ -52,6 +57,7 @@ def simhash_candidates(
         )
         .where(F.col("hamming") <= cfg.simhash_hamming_max)
         .select("url_a", "url_b", "hamming")
-        .dropDuplicates(["url_a", "url_b"])
     )
+    if dedup:
+        out = out.dropDuplicates(["url_a", "url_b"])
     return out, dropped, cached

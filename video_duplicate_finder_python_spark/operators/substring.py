@@ -18,11 +18,18 @@ from .bucket_join import bucket_pairs
 
 
 def substring_candidates(
-    signatures: DataFrame, cfg: DedupConfig, persist: bool = False
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    persist: bool = False,
+    dedup: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
-    """``signatures(url, fingerprints)`` → ``(pairs, dropped, cached)``."""
+    """``signatures(url, fingerprints)`` → ``(pairs, dropped, cached)``.
+    ``dedup=False`` skips the per-source dropDuplicates shuffle (see
+    lsh.minhash_band_candidates)."""
     fps = signatures.select("url", F.explode("fingerprints").alias("fp"))
     pairs, dropped, cached = bucket_pairs(
         fps, key_cols=["fp"], max_bucket_size=cfg.max_bucket_size, persist=persist
     )
-    return pairs.dropDuplicates(["url_a", "url_b"]), dropped, cached
+    if dedup:
+        pairs = pairs.dropDuplicates(["url_a", "url_b"])
+    return pairs, dropped, cached

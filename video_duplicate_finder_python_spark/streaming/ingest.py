@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import DedupConfig
-from ..functions.text import extract_text_udf
+from ..functions.text import extract_text_col
 from ..operators.exact import content_hash_col
 from ..operators.signature_stage import compute_signatures
 
@@ -213,7 +213,7 @@ class StreamingSignatureIngest:
     # -- batch-side logic (also usable without a stream) --------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         docs = batch_df.select(
-            "url", extract_text_udf(F.col("html")).alias("text")
+            "url", extract_text_col(F.col("html")).alias("text")
         ).withColumn("content_hash", content_hash_col(F.col("text")))
 
         if self.store.manifest() is None:
