@@ -46,6 +46,28 @@ def test_changed_input_invalidates(spark, ckdir):
     assert not res.metrics["docs"]["cached"]
 
 
+def test_content_rewrite_at_fixed_url_ts_invalidates(spark, ckdir):
+    """Round-2 verdict item #8: a byte-rewrite that keeps (url, warc_ts)
+    fixed — the residual staleness hole the old two-column digest had —
+    must invalidate the stage fingerprints via the length(html) signal."""
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    pages1 = spark.createDataFrame(
+        [("https://x/1", None, b"<html><body><p>original body text</p></body></html>", None, "en")],
+        schema,
+    )
+    res1 = DedupPipeline(spark, DedupConfig(), checkpoint_dir=ckdir).run(pages1)
+    assert not res1.metrics["docs"]["cached"]
+
+    pages2 = spark.createDataFrame(
+        [("https://x/1", None, b"<html><body><p>rewritten and longer body text</p></body></html>", None, "en")],
+        schema,
+    )
+    res2 = DedupPipeline(spark, DedupConfig(), checkpoint_dir=ckdir).run(pages2)
+    assert not res2.metrics["docs"]["cached"], (
+        "same (url, warc_ts), different bytes → stages must recompute"
+    )
+
+
 def test_changed_config_invalidates(spark, ckdir):
     corpus = generate_corpus(seed=5, n_docs=60)
     pages = pages_spark_df(spark, corpus)

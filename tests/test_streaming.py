@@ -130,6 +130,89 @@ def test_store_delete_urls_rewrites_only_touched_parts(spark, tmp_path):
     assert store.delete_urls(["u3", "u17"]) == 0
 
 
+def test_store_adopts_persisted_n_parts(spark, tmp_path):
+    """Reopening an existing store with a different n_parts must not
+    corrupt it: the persisted layout wins (url→partition hashing depends
+    on n_parts, so honoring the new value would prune wrong partitions and
+    miss rows on delete/upsert)."""
+    store = SignatureStore(spark, str(tmp_path / "s"), n_parts=8)
+    df = spark.createDataFrame([(f"u{i}", i) for i in range(50)], ["url", "payload"])
+    store.swap_in(df)
+
+    reopened = SignatureStore(spark, str(tmp_path / "s"), n_parts=4)
+    assert reopened.n_parts == 8
+    # deletes through the reopened handle still find their rows
+    assert reopened.delete_urls(["u3", "u17"]) == 2
+    assert reopened.read().count() == 48
+
+
+def test_clear_all_on_fresh_store_then_batch_cold_starts(spark, tmp_path):
+    """clear_all() on a never-written store leaves an empty manifest with
+    no schema; the next micro-batch must take the cold-start branch, not
+    crash in the upsert path on read() → None."""
+    ingest = StreamingSignatureIngest(spark, str(tmp_path / "s"), DedupConfig(), n_parts=4)
+    ingest.store.clear_all()
+    pages = spark.createDataFrame(
+        [("https://x/1", None, b"<html><body><p>hello world text</p></body></html>", None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    ingest.process_batch(pages, 0)
+    assert ingest.store.read().count() == 1
+    assert ingest.batch_stats[-1]["store_rows"] == 1
+
+
+def test_vacuum_removes_unreferenced_generations(spark, tmp_path):
+    store = SignatureStore(spark, str(tmp_path / "s"), n_parts=4)
+    df = spark.createDataFrame([(f"u{i}", i) for i in range(20)], ["url", "payload"])
+    store.swap_in(df)
+    store.delete_urls(["u1"])   # supersedes one partition's generation
+    store.delete_urls(["u2"])
+    n_gens_before = len(list(store.base.glob("gen-*")))
+    assert n_gens_before >= 3
+
+    removed = store.vacuum()
+    assert removed >= 1
+    on_disk = {
+        f"{g.name}/{p.name}"
+        for g in store.base.glob("gen-*")
+        for p in g.glob("_part=*")
+    }
+    assert on_disk == set(store.manifest().values())
+    # data is intact after GC
+    assert store.read().count() == 18
+    assert store.row_count() == 18
+
+
+def test_no_full_store_scan_per_micro_batch(spark, tmp_path):
+    """The per-batch stats must come from manifest row counts, not an
+    O(store) read().count() job (round-2 verdict: the stat undid the
+    O(delta) upsert win). A full-store read is read(parts=None); assert
+    the upsert path never issues one."""
+    ingest = StreamingSignatureIngest(spark, str(tmp_path / "s"), DedupConfig(), n_parts=8)
+
+    def pages_df(urls):
+        return spark.createDataFrame(
+            [(u, None, f"<html><body><p>body of {u} stays</p></body></html>".encode(),
+              None, "en") for u in urls],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+
+    ingest.process_batch(pages_df([f"https://x/{i}" for i in range(30)]), 0)
+
+    full_reads = []
+    orig_read = ingest.store.read
+
+    def spy_read(parts=None):
+        if parts is None:
+            full_reads.append(True)
+        return orig_read(parts)
+
+    ingest.store.read = spy_read
+    ingest.process_batch(pages_df(["https://new/a"]), 1)
+    assert not full_reads
+    assert ingest.batch_stats[-1]["store_rows"] == 31
+
+
 def test_store_clear_all_and_cleanup_missing(spark, tmp_path):
     store = SignatureStore(spark, str(tmp_path / "s"), n_parts=4)
     df = spark.createDataFrame([(f"u{i}", i) for i in range(20)], ["url", "payload"])

@@ -47,10 +47,13 @@ def minhash_band_candidates(
     ``persist``/``cached`` semantics per bucket_join.bucket_pairs.
 
     A pair can collide in several bands; ``dedup=True`` keeps one row
-    (SURVEY O6's global dropDuplicates). The pipeline passes ``dedup=False``
-    because its source-union groupBy deduplicates all three candidate
-    sources in ONE shuffle — a per-source dropDuplicates there would be a
-    pure extra shuffle of the largest intermediate."""
+    (SURVEY O6's global dropDuplicates). The pipeline keeps the default
+    ``dedup=True``: a near-dup pair collides in up to ``bands`` bands, so
+    deduping inside each source shrinks the downstream union-groupBy
+    shuffle by that multiplicity — measured cheaper on duplicate-heavy web
+    corpora than funneling the raw collision rows into the final groupBy
+    (plans/pipeline.py:_candidates). Pass ``dedup=False`` only when a
+    caller's own downstream aggregation already deduplicates."""
     bands = explode_bands(signatures, cfg)
     pairs, dropped, cached = bucket_pairs(
         bands,

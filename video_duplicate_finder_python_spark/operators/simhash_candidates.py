@@ -25,8 +25,9 @@ def simhash_candidates(
     dedup: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """→ ``(pairs(url_a, url_b, hamming), dropped_metric, cached)``.
-    ``dedup=False`` skips the per-source dropDuplicates shuffle (see
-    lsh.minhash_band_candidates)."""
+    The pipeline keeps the default ``dedup=True`` — a pair can collide in
+    several pigeonhole chunks, and per-source dedup shrinks the union
+    shuffle (measured; see lsh.minhash_band_candidates)."""
     chunks = cfg.simhash_chunks
     width = cfg.simhash_bits // chunks
     mask = (1 << width) - 1

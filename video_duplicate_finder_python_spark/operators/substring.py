@@ -24,8 +24,9 @@ def substring_candidates(
     dedup: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """``signatures(url, fingerprints)`` → ``(pairs, dropped, cached)``.
-    ``dedup=False`` skips the per-source dropDuplicates shuffle (see
-    lsh.minhash_band_candidates)."""
+    The pipeline keeps the default ``dedup=True`` — a pair sharing several
+    CDC chunks collides once per chunk, and per-source dedup shrinks the
+    union shuffle (measured; see lsh.minhash_band_candidates)."""
     fps = signatures.select("url", F.explode("fingerprints").alias("fp"))
     pairs, dropped, cached = bucket_pairs(
         fps, key_cols=["fp"], max_bucket_size=cfg.max_bucket_size, persist=persist

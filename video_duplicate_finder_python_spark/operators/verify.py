@@ -34,12 +34,17 @@ from ..functions.fingerprint import anchored_common_span_len
 def _make_span_udf(window: int, mask_bits: int):
     @F.pandas_udf(T.IntegerType())
     def span_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
+        # a missing text (caller passed a partial texts frame) yields a
+        # NULL span, not 0 — downstream is_dup then falls back to the
+        # Jaccard test alone instead of silently asserting "no shared span"
         return pd.Series(
             [
-                anchored_common_span_len(a or "", b or "", window, mask_bits)
+                None
+                if a is None or b is None
+                else anchored_common_span_len(a, b, window, mask_bits)
                 for a, b in zip(text_a, text_b)
             ],
-            dtype="int32",
+            dtype="Int32",
         )
 
     return span_udf
@@ -102,16 +107,28 @@ def verify_candidates(
         )
     else:
         span_udf = _make_span_udf(cfg.cdc_window, cfg.cdc_mask_bits)
-        tx_a = texts.select(F.col("url").alias("url_a"), F.col("text").alias("_tx_a"))
-        tx_b = texts.select(F.col("url").alias("url_b"), F.col("text").alias("_tx_b"))
-        # broadcast the (tiny) failed-substring pair set so the texts side
-        # is a streamed scan of the rep_docs checkpoint — without the hint
-        # Spark's parquet size estimate of the texts side exceeds the
-        # broadcast threshold and both text joins become full sort-merge
-        # shuffles of the corpus text for a handful of pairs
-        half = tx_a.join(F.broadcast(scored.where(needs_lcs)), "url_a")
+        needed = scored.where(needs_lcs)
+        # ONE streamed scan of the corpus texts, semi-filtered by the
+        # (tiny, broadcast) failed-substring url set — broadcast left-semi
+        # is a supported build-right plan, unlike broadcasting the
+        # preserved side of an outer join, so the corpus text is never
+        # shuffled for a handful of pairs. The result is at most
+        # 2·|needed| rows, so the two per-side joins below are
+        # broadcast-trivially small.
+        need_urls = (
+            needed.select(F.col("url_a").alias("url"))
+            .union(needed.select(F.col("url_b").alias("url")))
+            .distinct()
+        )
+        t_small = texts.join(F.broadcast(need_urls), "url", "left_semi")
+        tx_a = t_small.select(F.col("url").alias("url_a"), F.col("text").alias("_tx_a"))
+        tx_b = t_small.select(F.col("url").alias("url_b"), F.col("text").alias("_tx_b"))
+        # LEFT joins preserve every needs_lcs pair: a pair whose url is
+        # absent from `texts` keeps its row with a NULL text → NULL
+        # lcs_len, instead of vanishing from the result entirely
         slow = (
-            tx_b.join(F.broadcast(half), "url_b")
+            needed.join(F.broadcast(tx_a), "url_a", "left")
+            .join(F.broadcast(tx_b), "url_b", "left")
             .withColumn("lcs_len", span_udf(F.col("_tx_a"), F.col("_tx_b")))
             .drop("_tx_a", "_tx_b")
         )

@@ -47,6 +47,22 @@ class PipelineResult:
     exact_edges: DataFrame
     metrics: dict = field(default_factory=dict)
 
+    def pairs_url_level(self, include_within_groups: bool = True) -> DataFrame:
+        """The reference's file-level pair view (duplicate_groups rows carry
+        the two file paths, /root/reference/src/core/database.py:49-60):
+        ``pairs`` relates exact-group *representatives* (exact collapse runs
+        before signatures), so expand each rep-level pair to its groups'
+        members and emit within-group pairs at Jaccard 1.0 with source tag
+        ``exact``. Lazy view, pair-count-sized output — a reporting
+        surface, not a pipeline stage (clustering consumes the linear star
+        edges); set ``include_within_groups=False`` on hot-key corpora
+        where one boilerplate group would emit g·(g-1)/2 rows."""
+        from ..operators.expand import expand_pairs_through_reps
+
+        return expand_pairs_through_reps(
+            self.pairs, self.exact_edges, include_within_groups
+        )
+
     def summary(self) -> dict:
         """Reference-style scan stats (SURVEY O12: get_files_count /
         get_duplicates_count), derived from the stage counters — no extra
@@ -93,20 +109,30 @@ class DedupPipeline:
 
     @staticmethod
     def input_digest(pages: DataFrame) -> str:
-        """Cheap input identity: row count + hash-sum over (url, warc_ts).
+        """Cheap input identity: row count + hash-sum over
+        (url, warc_ts, length(html)).
 
         ``warc_ts`` is the crawl timestamp — the mtime analog of the
-        reference's size+mtime staleness check (database.py:93-130) — so a
-        re-crawl written to the same urls invalidates every stage
-        fingerprint without scanning ``html`` bytes (the digest reads two
-        narrow columns; a content hash here would re-read the whole corpus
-        on every cached rerun). On Iceberg, pass the snapshot id as
-        ``input_token`` instead and skip this scan entirely. Byte-level
-        staleness beyond this is the incremental path's job (content_hash
-        anti-join, SURVEY O3)."""
+        reference's size+mtime staleness check (database.py:93-130) — and
+        ``length(html)`` is the size analog: a re-crawl written to the
+        same urls, even one reusing the old timestamps, invalidates every
+        stage fingerprint unless the rewrite is byte-length-preserving.
+        The length term scans the html column (parquet stores byte-array
+        lengths inline in the data pages) but stays pure JVM codegen with
+        no hashing of the bytes; deployments that can't afford the scan on
+        every cached rerun should pass the Iceberg snapshot id as
+        ``input_token`` and skip this entirely — that also closes the
+        length-preserving-rewrite residual. Byte-level staleness beyond
+        this is the incremental path's job (content_hash anti-join,
+        SURVEY O3)."""
         row = pages.select(
             F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.bit_xor(F.xxhash64("url", "warc_ts")), F.lit(0)).alias("h"),
+            F.coalesce(
+                F.bit_xor(
+                    F.xxhash64("url", "warc_ts", F.length(F.col("html")))
+                ),
+                F.lit(0),
+            ).alias("h"),
         ).first()
         return f"{row['n']}:{row['h']}"
 

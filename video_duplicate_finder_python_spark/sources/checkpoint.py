@@ -83,6 +83,16 @@ class CheckpointManager:
             parts.append({"id": i, "rows": int(n)})
         return total, parts
 
+    def _partition_counts(self, path: str) -> tuple[int, list[dict]]:
+        """Footer counts for local checkpoints; for a non-local ``base_dir``
+        (hdfs://, s3a:// — the real deployment) pathlib can't see the
+        files, so fall back to one Spark count() job over the just-written
+        (page-cached) checkpoint. On Iceberg the manifest row counts
+        replace both branches."""
+        if Path(path).exists():
+            return self._footer_partition_counts(path)
+        return self.spark.read.parquet(path).count(), []
+
     # -- public ------------------------------------------------------------
     def stage(
         self,
@@ -126,7 +136,7 @@ class CheckpointManager:
             path = str(self.base_dir / name)
             df.write.mode("overwrite").parquet(path)
             out = self.spark.read.parquet(path)
-            rows, parts = self._footer_partition_counts(path)
+            rows, parts = self._partition_counts(path)
         wall = time.monotonic() - t0
 
         m = StageMetrics(

@@ -71,21 +71,46 @@ class SignatureStore:
         self.spark = spark
         self.base = Path(base_dir)
         self.base.mkdir(parents=True, exist_ok=True)
-        self.n_parts = n_parts
+        # an existing store's physical layout wins: n_parts decides which
+        # partition a url hashes into, so opening with a different value
+        # would silently corrupt the store (wrong pruning, stale duplicate
+        # rows after upsert, deletes that miss rows). Adopt the persisted
+        # value; the requested one only applies to a fresh store.
+        stored = self._read_manifest_file()
+        if stored is not None and "n_parts" in stored:
+            self.n_parts = int(stored["n_parts"])
+        else:
+            self.n_parts = n_parts
 
     # -- manifest ------------------------------------------------------------
     def _manifest_path(self) -> Path:
         return self.base / self.MANIFEST
 
-    def manifest(self) -> dict[str, str] | None:
+    def _read_manifest_file(self) -> dict | None:
         p = self._manifest_path()
         if not p.exists():
             return None
-        return json.loads(p.read_text())["parts"]
+        return json.loads(p.read_text())
 
-    def _write_manifest(self, parts: dict[str, str]) -> None:
+    def manifest(self) -> dict[str, str] | None:
+        doc = self._read_manifest_file()
+        return None if doc is None else doc["parts"]
+
+    def part_rows(self) -> dict[str, int]:
+        """Per-partition row counts, maintained from parquet footers at
+        write time — ``row_count()`` is a driver-side dict sum, never a
+        Spark job over the store."""
+        doc = self._read_manifest_file()
+        return {} if doc is None else {k: int(v) for k, v in doc.get("rows", {}).items()}
+
+    def row_count(self) -> int:
+        return sum(self.part_rows().values())
+
+    def _write_manifest(self, parts: dict[str, str], rows: dict[str, int]) -> None:
         tmp = self._manifest_path().with_suffix(".tmp")
-        tmp.write_text(json.dumps({"parts": parts, "n_parts": self.n_parts}))
+        tmp.write_text(
+            json.dumps({"parts": parts, "n_parts": self.n_parts, "rows": rows})
+        )
         tmp.replace(self._manifest_path())  # atomic snapshot flip
 
     def part_path(self, part: int) -> Path | None:
@@ -123,10 +148,17 @@ class SignatureStore:
         return self.spark.read.schema(schema).parquet(*paths)
 
     # -- write ---------------------------------------------------------------
-    def _write_parts(self, df: DataFrame, parts: list[int]) -> dict[str, str]:
+    def _write_parts(
+        self, df: DataFrame, parts: list[int]
+    ) -> tuple[dict[str, str], dict[str, int]]:
         """Write ``df`` (rows belonging to ``parts`` only) as one new
         generation, one subdirectory per partition; returns the manifest
-        entries for the written partitions. One Spark job (partitionBy)."""
+        entries and per-partition row counts for the written partitions.
+        One Spark job (partitionBy); the counts come from the freshly
+        written parquet footers (driver-side metadata reads, no extra
+        job — same technique as CheckpointManager._footer_partition_counts)."""
+        import pyarrow.parquet as pq
+
         gen = f"gen-{time.time_ns()}"
         out = str(self.base / gen)
         self._store_schema(df)
@@ -136,7 +168,8 @@ class SignatureStore:
             .partitionBy("_part")
             .parquet(out)
         )
-        entries = {}
+        entries: dict[str, str] = {}
+        rows: dict[str, int] = {}
         for p in parts:
             sub = Path(out) / f"_part={p}"
             if not sub.exists():
@@ -144,12 +177,15 @@ class SignatureStore:
                 # deleted); point it at an empty dir so read() skips it
                 sub.mkdir(parents=True, exist_ok=True)
             entries[str(p)] = f"{gen}/_part={p}"
-        return entries
+            rows[str(p)] = sum(
+                pq.ParquetFile(f).metadata.num_rows for f in sub.glob("part-*")
+            )
+        return entries, rows
 
     def swap_in(self, df: DataFrame) -> None:
         """Full-store (re)load: write every partition, flip the manifest."""
-        entries = self._write_parts(df, list(range(self.n_parts)))
-        self._write_manifest(entries)
+        entries, rows = self._write_parts(df, list(range(self.n_parts)))
+        self._write_manifest(entries, rows)
 
     def upsert_parts(self, df: DataFrame, parts: list[int]) -> None:
         """Replace only ``parts`` with ``df``'s rows; all other partitions
@@ -157,13 +193,17 @@ class SignatureStore:
         if not parts:
             return
         m = self.manifest() or {}
-        m.update(self._write_parts(df, parts))
-        self._write_manifest(m)
+        rows = self.part_rows()
+        new_entries, new_rows = self._write_parts(df, parts)
+        m.update(new_entries)
+        rows.update(new_rows)
+        self._write_manifest(m, rows)
 
     # -- deletes (reference database.py:275-313) -------------------------------
     def delete_urls(self, urls: list[str]) -> int:
         """Targeted delete (`_remove_file` analog). Rewrites only the
-        partitions the urls hash into; returns rows removed."""
+        partitions the urls hash into; returns rows removed (derived from
+        the manifest row counts — no count() jobs)."""
         m = self.manifest()
         if m is None or not urls:
             return 0
@@ -172,16 +212,16 @@ class SignatureStore:
             int(r["p"])
             for r in urls_df.select(_part_col(self.n_parts).alias("p")).distinct().collect()
         ]
-        old = self.read(parts)
-        kept = old.join(F.broadcast(urls_df), "url", "left_anti")
-        removed = old.count() - kept.count()
+        before = self.row_count()
+        kept = self.read(parts).join(F.broadcast(urls_df), "url", "left_anti")
         self.upsert_parts(kept, parts)
-        return removed
+        return before - self.row_count()
 
     def clear_all(self) -> None:
         """Truncate (`clear_all` analog): flip to an empty manifest —
-        readers instantly see nothing; old generations become garbage."""
-        self._write_manifest({})
+        readers instantly see nothing; old generations become garbage
+        (reclaim with ``vacuum()``)."""
+        self._write_manifest({}, {})
 
     def cleanup_missing(self, existing_urls: DataFrame) -> int:
         """GC rows whose url vanished from the source snapshot
@@ -190,10 +230,32 @@ class SignatureStore:
         old = self.read()
         if old is None:
             return 0
+        before = self.row_count()
         kept = old.join(existing_urls.select("url"), "url", "left_semi")
-        removed = old.count() - kept.count()
-        if removed:
-            self.swap_in(kept)
+        self.swap_in(kept)
+        return before - self.row_count()
+
+    # -- garbage collection ----------------------------------------------------
+    def vacuum(self) -> int:
+        """Delete partition directories no longer referenced by the
+        manifest (superseded by partition-targeted rewrites or truncation),
+        then any generation directory left with no partitions. Partition
+        granularity matters: a generation stays partially live after a
+        targeted delete rewrites just one of its partitions. Safe against
+        concurrent readers only after their snapshot read finishes — same
+        contract as Iceberg's expire_snapshots. Returns the number of
+        partition dirs removed."""
+        import shutil
+
+        live = set((self.manifest() or {}).values())
+        removed = 0
+        for gen_dir in self.base.glob("gen-*"):
+            for part_dir in gen_dir.glob("_part=*"):
+                if f"{gen_dir.name}/{part_dir.name}" not in live:
+                    shutil.rmtree(part_dir)
+                    removed += 1
+            if not any(gen_dir.iterdir()):
+                shutil.rmtree(gen_dir)
         return removed
 
 
@@ -216,7 +278,11 @@ class StreamingSignatureIngest:
             "url", extract_text_col(F.col("html")).alias("text")
         ).withColumn("content_hash", content_hash_col(F.col("text")))
 
-        if self.store.manifest() is None:
+        manifest = self.store.manifest()
+        # `not manifest` covers the truncated-store case: clear_all() on a
+        # never-written store leaves an empty manifest with no schema file,
+        # so the upsert branch would crash on read() → None
+        if manifest is None or not manifest:
             sigs = compute_signatures(
                 docs, self.cfg, keep_cols=["url", "content_hash", "text"]
             )
@@ -248,7 +314,11 @@ class StreamingSignatureIngest:
 
         stat = {
             "batch_id": int(batch_id),
-            "store_rows": self.store.read().count(),
+            # manifest row counts (maintained from parquet footers at write
+            # time) — a driver-side dict sum; the previous shape ran a
+            # full-store read().count() Spark job per micro-batch, an
+            # O(store) cost that undercut the O(delta) upsert
+            "store_rows": self.store.row_count(),
             "delta_rows": delta_count,
             "touched_parts": len(touched),
         }
