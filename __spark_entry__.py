@@ -24,7 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from video_duplicate_finder_python_spark import DedupConfig, DedupPipeline
-from video_duplicate_finder_python_spark.sources.pages import documents_as_pages
+from video_duplicate_finder_python_spark.sources.pages import (
+    docs_to_pages,
+    documents_as_pages,
+)
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 
@@ -58,9 +61,72 @@ def _quantize(col):
     return F.transform(col, lambda x: F.round(x.cast("double") * 1e6).cast("bigint"))
 
 
-def _run_pipeline(spark: SparkSession, sf_dir: str):
-    pages = documents_as_pages(spark, sf_dir)
-    return DedupPipeline(spark, DedupConfig()).run(pages)
+# Derived test corpora: the sf documents table plants *neither* exact-dup
+# nor substring-only duplicate classes (no two rows share a text; no pair
+# shares a >=500-char span below the Jaccard threshold), so those pipeline
+# paths would only ever see empty driver rows. These variants construct
+# the missing classes in-query, deterministically, from doc_id alone —
+# the DuckDB oracles rebuild the identical corpus from the same SQL-
+# expressible recipe.
+_SPAN_SQL = (
+    "array_join(transform(sequence(1, 150), "
+    "j -> concat('w', cast(doc_id as string), 'x', cast(j as string))), ' ')"
+)
+
+
+def _tail_sql(prefix: str) -> str:
+    return (
+        "array_join(transform(sequence(1, 100), "
+        f"j -> concat('{prefix}', cast(doc_id as string), 'h', cast(j as string))), ' ')"
+    )
+
+
+def _derived_docs(spark: SparkSession, sf_dir: str, variant: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    if variant == "base":
+        return docs
+    if variant == "exact":
+        # every 5th doc gets a byte-identical twin under a fresh doc_id —
+        # exercises exact collapse → star edges → CC with rows > 0
+        copies = docs.where(F.col("doc_id") % 5 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1_000_000)
+        )
+        return docs.unionByName(copies)
+    if variant == "substring":
+        # every 50th doc_id seeds a twin pair (X, Y) sharing ONLY a long
+        # synthetic token span (~900 chars >= substring_min_len + CDC
+        # margin) followed by disjoint tails: Jaccard ≈ 0.42 < 0.8, so the
+        # pair is a duplicate solely via the CDC-fingerprint → anchored-
+        # span path. Token namespaces ('w{i}x{j}', 'ua…', 'vb…') are
+        # disjoint from the natural-word base corpus, so the twins
+        # interact with nothing else.
+        sel = docs.where(F.col("doc_id") % 50 == 0)
+        tx = sel.selectExpr(
+            "doc_id + 2000000 AS doc_id",
+            f"concat({_SPAN_SQL}, ' ', {_tail_sql('ua')}) AS text",
+            "'en' AS lang",
+        )
+        ty = sel.selectExpr(
+            "doc_id + 3000000 AS doc_id",
+            f"concat({_SPAN_SQL}, ' ', {_tail_sql('vb')}) AS text",
+            "'en' AS lang",
+        )
+        return docs.unionByName(tx).unionByName(ty)
+    raise ValueError(f"unknown corpus variant {variant!r}")
+
+
+_PIPE_CACHE: dict = {}
+
+
+def _run_pipeline(spark: SparkSession, sf_dir: str, variant: str = "base"):
+    """Full DedupPipeline over a (possibly derived) corpus, memoized per
+    Spark application so the several driver queries sharing one pipeline
+    run (clusters / lsh pairs / expanded pairs) pay for it once."""
+    key = (spark.sparkContext.applicationId, sf_dir, variant)
+    if key not in _PIPE_CACHE:
+        pages = docs_to_pages(_derived_docs(spark, sf_dir, variant))
+        _PIPE_CACHE[key] = DedupPipeline(spark, DedupConfig()).run(pages)
+    return _PIPE_CACHE[key]
 
 
 # --------------------------------------------------------------------------
@@ -366,6 +432,44 @@ def q_dedup_clusters(spark, sf_dir):
     return res.clusters.orderBy("url")
 
 
+def q_dedup_clusters_with_exact(spark, sf_dir):
+    # the exact-duplicate class with rows > 0 (round-2 verdict #1): union
+    # documents with byte-identical re-keyed copies, run the FULL
+    # pipeline — copies collapse in exact_representatives
+    # (operators/exact.py:35-68, reference comparator.py:52-63), reach CC
+    # as star edges, and the clusters must match the DuckDB recursive-CTE
+    # jaccard closure over the same union corpus (copy↔origin pairs are
+    # Jaccard 1.0, so the closure needs no separate exact predicate).
+    res = _run_pipeline(spark, sf_dir, "exact")
+    return res.clusters.orderBy("url")
+
+
+def q_exact_pairs_expanded(spark, sf_dir):
+    # the reference's file-level duplicate-pair view
+    # (PipelineResult.pairs_url_level, reference database.py:49-60):
+    # within-exact-group pairs surface with source tag 'exact'; oracle is
+    # the md5-equality self-join over the derived corpus.
+    res = _run_pipeline(spark, sf_dir, "exact")
+    return (
+        res.pairs_url_level()
+        .where(F.array_contains("sources", "exact"))
+        .select("url_a", "url_b")
+        .orderBy("url_a", "url_b")
+    )
+
+
+def q_substring_dup_clusters(spark, sf_dir):
+    # the substring-only duplicate class with rows > 0 (round-2 verdict
+    # #1): planted twin pairs share ONLY a ~900-char verbatim span
+    # (Jaccard ≈ 0.42), so clustering them requires the CDC-fingerprint
+    # candidates + anchored-common-span verification path
+    # (functions/fingerprint.py, operators/substring.py) — the class LSH
+    # can't catch. Oracle: base-corpus jaccard closure UNION the planted
+    # twin clusters (twins touch nothing else by construction).
+    res = _run_pipeline(spark, sf_dir, "substring")
+    return res.clusters.orderBy("url")
+
+
 def q_minhash_signatures(spark, sf_dir):
     # SURVEY O2: 128-perm MinHash + 64-bit SimHash signatures. All columns
     # are canonical scalars — the minhash array is folded to an md5 digest
@@ -528,6 +632,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_token_counts": q_regex_token_counts,
         "quality_scores": q_quality_scores,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_with_exact": q_dedup_clusters_with_exact,
+        "exact_pairs_expanded": q_exact_pairs_expanded,
+        "substring_dup_clusters": q_substring_dup_clusters,
         "jaccard_clusters": q_jaccard_clusters,
         "shingle_counts": q_shingle_counts,
         "minhash_signatures": q_minhash_signatures,
@@ -558,6 +665,35 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE AS jac
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 """
+
+
+def _closure_sql(docs_cte: str) -> str:
+    """Recursive-CTE transitive closure of the brute-force jaccard>=0.8
+    graph over url strings, for an arbitrary (doc_id, text) corpus CTE —
+    the independent clustering oracle (same shape as the green
+    dedup_clusters SQL). No trailing ORDER BY so callers can UNION."""
+    return (
+        "WITH RECURSIVE "
+        f"alldocs AS ({docs_cte}), "
+        "toks AS (SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url, "
+        "string_split(text, ' ') AS t FROM alldocs), "
+        "sh AS (SELECT url, CASE WHEN len(t) >= 5 "
+        "THEN list_distinct(list_transform(generate_series(1, len(t) - 4), "
+        "i -> array_to_string(t[i:i+4], ' '))) "
+        "ELSE [array_to_string(t, ' ')] END AS s FROM toks), "
+        "jp AS (SELECT a.url AS src, b.url AS dst "
+        "FROM sh a JOIN sh b ON a.url < b.url "
+        "WHERE len(list_intersect(a.s, b.s))::DOUBLE "
+        "/ (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.8), "
+        "edges AS (SELECT src, dst FROM jp UNION ALL SELECT dst, src FROM jp), "
+        "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+        "walk(node, reach) AS ("
+        "SELECT node, node FROM nodes "
+        "UNION "
+        "SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src) "
+        "SELECT node AS url, min(reach) AS cluster_id "
+        "FROM walk GROUP BY node"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -620,6 +756,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src) "
             "SELECT node AS url, min(reach) AS cluster_id "
             "FROM walk GROUP BY node ORDER BY url"
+        ),
+        "dedup_clusters_with_exact": (
+            _closure_sql(
+                "SELECT doc_id, text FROM documents "
+                "UNION ALL "
+                "SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0"
+            )
+            + " ORDER BY url"
+        ),
+        "exact_pairs_expanded": (
+            "WITH alldocs AS (SELECT doc_id, text FROM documents "
+            "UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0), "
+            "u AS (SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url, "
+            "md5(text) AS h FROM alldocs) "
+            "SELECT a.url AS url_a, b.url AS url_b "
+            "FROM u a JOIN u b ON a.h = b.h AND a.url < b.url "
+            "ORDER BY url_a, url_b"
+        ),
+        "substring_dup_clusters": (
+            # base-corpus jaccard closure UNION the planted twin clusters:
+            # each seed doc_id i yields docs (2000000+i, 3000000+i) whose
+            # only relation is the shared >=500-char span, so their
+            # 2-cluster (id = the lexicographically smaller 2000000 url)
+            # is constructible without recursion
+            _closure_sql("SELECT doc_id, text FROM documents")
+            + " UNION ALL "
+            "SELECT 'https://docs.example/' || CAST(doc_id + 2000000 AS VARCHAR), "
+            "'https://docs.example/' || CAST(doc_id + 2000000 AS VARCHAR) "
+            "FROM documents WHERE doc_id % 50 = 0 "
+            "UNION ALL "
+            "SELECT 'https://docs.example/' || CAST(doc_id + 3000000 AS VARCHAR), "
+            "'https://docs.example/' || CAST(doc_id + 2000000 AS VARCHAR) "
+            "FROM documents WHERE doc_id % 50 = 0 "
+            "ORDER BY url"
         ),
         "jaccard_clusters": (
             "WITH RECURSIVE "

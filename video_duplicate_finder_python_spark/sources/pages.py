@@ -24,13 +24,14 @@ def read_pages(
     return df
 
 
-def documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adapt the driver's ``documents`` table to the pages schema.
+def docs_to_pages(docs: DataFrame) -> DataFrame:
+    """Adapt a ``documents``-shaped frame (doc_id, text, lang) to the pages
+    schema — shared by the driver's table and the derived test corpora
+    (exact-copy / substring-twin unions) built on top of it.
 
     Deterministic: the html wrap matches FIXTURES.md F1 so the extraction
     invariant (extract_text(html) == text, byte-identical) holds here too.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
         F.concat(F.lit("https://docs.example/"), F.col("doc_id").cast("string")).alias("url"),
         (
@@ -47,3 +48,8 @@ def documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.col("lang"),
     )
+
+
+def documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's ``documents`` table as pages (see docs_to_pages)."""
+    return docs_to_pages(spark.read.parquet(f"{sf_dir}/documents.parquet"))
