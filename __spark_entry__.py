@@ -361,6 +361,18 @@ def q_knn_dot_q0(spark, sf_dir):
     )
 
 
+def q_knn_dot_q0_udf(spark, sf_dir):
+    # the vectorized-Arrow twin of knn_dot_q0 (round-2 verdict #6): one
+    # int64 BLAS matmul per Arrow batch instead of the interpreted
+    # aggregate/zip_with fold — same quantization, same oracle SQL; the
+    # HOF version stays as the pure-JVM oracle twin
+    from video_duplicate_finder_python_spark.operators.ann import quantized_dot_topk
+
+    return quantized_dot_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, out_col="dot_q0"
+    )
+
+
 def q_embedding_dot_pairs(spark, sf_dir):
     # embedding-space near-dup pairs (training-pipeline brief): all-pairs
     # similarity self-join on exact integer-quantized dot product — the
@@ -626,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": q_latest_event_per_user,
         "customers_without_orders": q_customers_without_orders,
         "knn_dot_q0": q_knn_dot_q0,
+        "knn_dot_q0_udf": q_knn_dot_q0_udf,
         "embedding_dot_pairs": q_embedding_dot_pairs,
         "doc_previews": q_doc_previews,
         "lang_id_guess": q_lang_id_guess,
@@ -856,6 +869,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey AS custkey, c_name AS name FROM customer "
             "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
             "ORDER BY custkey"
+        ),
+        "knn_dot_q0_udf": (
+            # identical oracle to knn_dot_q0 — the UDF path must reproduce
+            # the quantized integer arithmetic exactly
+            "WITH qz AS (SELECT list_transform(embedding, "
+            "  x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe "
+            "  FROM embeddings WHERE vec_id = 0), "
+            "ez AS (SELECT vec_id, list_transform(embedding, "
+            "  x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ee "
+            "  FROM embeddings WHERE vec_id <> 0) "
+            "SELECT vec_id, CAST(list_sum(list_transform("
+            "  generate_series(1, len(ee)), i -> ee[i] * qe[i])) AS BIGINT) AS dot_q0 "
+            "FROM ez, qz ORDER BY dot_q0 DESC, vec_id LIMIT 10"
         ),
         "knn_dot_q0": (
             "WITH qz AS (SELECT list_transform(embedding, "

@@ -27,6 +27,20 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def best_of(make_df, repeats: int = 3) -> float:
+    """Min wall over `repeats` executions of a freshly-built plan. The
+    sandbox host carries fluctuating neighbor load (up to 3× run-to-run;
+    five round-2 single-shot lines were 3-8× inflated by it), so a single
+    sample measures the neighbors, not the query — min-of-N approximates
+    uncontended cost, same policy as scripts/scaling_bench.py."""
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.monotonic()
+        force(make_df())
+        best = min(best, time.monotonic() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -62,13 +76,12 @@ def main() -> None:
         "latest_event_per_user",
         "customers_without_orders",
         "knn_dot_q0",
+        "knn_dot_q0_udf",
         "knn_cosine_q0",
     ]
     all_queries = entrymod.queries()
     for name in bench_names:
-        t0 = time.monotonic()
-        force(all_queries[name](spark, sf_dir))
-        queries[name] = round(time.monotonic() - t0, 3)
+        queries[name] = best_of(lambda: all_queries[name](spark, sf_dir))
 
     # ANN scale path: ONE index build (corpus UDF pass) amortized over a
     # probe-join query batch — probe must cost a small fraction of build
@@ -79,9 +92,9 @@ def main() -> None:
         build_ann_index(emb).write.mode("overwrite").parquet(idx_path)
         queries["ann_build_index"] = round(time.monotonic() - t0, 3)
         index = spark.read.parquet(idx_path)
-        t0 = time.monotonic()
-        force(ann_probe(index, emb, query_ids=list(range(8)), k=10))
-        queries["ann_probe_batch8"] = round(time.monotonic() - t0, 3)
+        queries["ann_probe_batch8"] = best_of(
+            lambda: ann_probe(index, emb, query_ids=list(range(8)), k=10)
+        )
 
     total = time.monotonic() - t_total0
     out = {

@@ -9,11 +9,11 @@ efficiency = (thr@4N / thr@N) / 4 into BENCH/BASELINE.md. Defaults are
 N=2 vs 4N=8 — levels above ~16 threads on this box measure neighbor-load
 contention and hyperthread sharing, not the job (see usage note below).
 
-Usage: python scripts/scaling_bench.py [n_docs] [N] [four_n]
-       (defaults: 20000 docs, N=2, 4N=8 — both levels sit inside the
-       sandbox's free CPU capacity; this box carries ~8 cores of neighbor
-       load and hyperthreads above ~16, so 8-vs-32 measures contention,
-       not the job)
+Usage: python scripts/scaling_bench.py [n_docs] [N] [four_n] [repeats] [out_md]
+       (defaults: 20000 docs, N=2, 4N=8, repeats=3, out_md=BASELINE.md —
+       levels above ~16 threads on this box also measure neighbor-load
+       contention and hyperthread sharing; pass out_md to record such a
+       run without clobbering the official table)
 Child mode (internal): python scripts/scaling_bench.py --one <cpus> <parquet>
 """
 
@@ -81,6 +81,7 @@ def main() -> None:
     spark.stop()
 
     repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    out_md = sys.argv[5] if len(sys.argv) > 5 else "BASELINE.md"
     low, low_all = best_of(n_low, parquet, repeats)
     high, high_all = best_of(n_high, parquet, repeats)
     factor = n_high / n_low
@@ -135,7 +136,7 @@ see BASELINE.md): first scan ~3.3-11.1 files/s on one machine; this
 engine processes {high['docs_per_sec']:.0f} docs/s end-to-end at
 local[{n_high}] including exact-Jaccard verification and clustering.
 """
-    (out_dir / "BASELINE.md").write_text(md)
+    (out_dir / out_md).write_text(md)
     print(md)
 
 

@@ -61,6 +61,33 @@ def test_ann_lsh_recall_vs_brute(spark, embeddings):
     assert approx == approx2
 
 
+def test_quantized_dot_udf_matches_hof_exactly(spark, embeddings):
+    """The Arrow/BLAS quantized dot (scale path) must reproduce the
+    interpreted-HOF integer dot bit-for-bit — same quantization (round
+    half away from zero, matching F.round), same int64 arithmetic."""
+    from video_duplicate_finder_python_spark.operators.ann import quantized_dot_topk
+
+    quant = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1e6).cast("bigint")
+    )
+    q = embeddings.where(F.col("vec_id") == 0).select(quant.alias("qe"))
+    hof_dot = F.aggregate(
+        F.zip_with(quant, F.col("qe"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    hof = (
+        embeddings.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", hof_dot.alias("dot_q0"))
+        .orderBy(F.desc("dot_q0"), "vec_id")
+        .limit(10)
+        .collect()
+    )
+    udf = quantized_dot_topk(embeddings, 0, k=10).collect()
+    assert [tuple(r) for r in hof] == [tuple(r) for r in udf]
+
+
 def test_ann_materialized_index_probe_batch(spark, embeddings, tmp_path):
     """The scale path (VERDICT r1 #4): index built ONCE, written, then a
     batch of queries served by probe-joins only — results must equal the

@@ -55,6 +55,54 @@ def brute_force_topk(embeddings: DataFrame, query_id: int, k: int = 10) -> DataF
     )
 
 
+def _quantize_np(v: np.ndarray, scale: float = 1e6) -> np.ndarray:
+    """round-half-away-from-zero to int64, matching Spark's F.round and
+    DuckDB's round() exactly (np.rint is half-to-even and can differ on
+    exact .5 products)."""
+    return (np.sign(v) * np.floor(np.abs(v) * scale + 0.5)).astype(np.int64)
+
+
+def make_quantized_dot_udf(query_vec, scale: float = 1e6):
+    """embedding → exact integer-quantized dot product with ``query_vec``.
+
+    The Arrow/BLAS twin of the interpreted-HOF dot
+    (``F.aggregate(F.zip_with(...))``): per Arrow batch it quantizes the
+    batch matrix and runs ONE int64 matmul against the query vector —
+    no per-element Catalyst lambda interpretation. Batches are capped at
+    1024 rows upstream (session config), so the temporaries stay ~0.5 MB
+    and below the sandbox's first-touch page-fault wall; identical
+    integer arithmetic to the HOF/SQL forms, so results hash-match the
+    same oracle."""
+    qv = _quantize_np(np.asarray(query_vec, dtype=np.float64), scale)
+
+    @F.pandas_udf(T.LongType())
+    def dot_udf(emb: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        return pd.Series(_quantize_np(mat, scale) @ qv)
+
+    return dot_udf
+
+
+def quantized_dot_topk(
+    embeddings: DataFrame, query_id: int, k: int = 10, out_col: str = "dot_q0"
+) -> DataFrame:
+    """Exact quantized-dot top-k for one query — the vectorized-UDF scale
+    path for the brute-force baseline (round-2 verdict #6: at a 100×
+    embedding table, a pre-quantized column + BLAS dot beats the
+    no-codegen HOF fold). Single-row driver lookup for the query vector,
+    then one projection over the corpus."""
+    qrow = embeddings.where(F.col("vec_id") == query_id).select("embedding").first()
+    if qrow is None:
+        raise ValueError(f"query vec_id {query_id} not found")
+    dot_udf = make_quantized_dot_udf(qrow[0])
+    return (
+        embeddings.where(F.col("vec_id") != query_id)
+        .select("vec_id", dot_udf("embedding").alias(out_col))
+        .orderBy(F.desc(out_col), "vec_id")
+        .limit(k)
+    )
+
+
 def _plane_params(seed: int, n_planes: int, n_tables: int, dim: int):
     planes = hyperplanes(seed, n_planes * n_tables, dim).reshape(n_tables, n_planes, dim)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
