@@ -482,6 +482,66 @@ def q_substring_dup_clusters(spark, sf_dir):
     return res.clusters.orderBy("url")
 
 
+def q_substring_pair_spans(spark, sf_dir):
+    # the anchored-common-span verifier's VALUES, hash-matched: for the
+    # planted twins the maximal common span is the shared token span plus
+    # the joining space (tails diverge at their first byte), and
+    # anchored_common_span_len recovers it exactly (functions/
+    # fingerprint.py:87-141) — the oracle recomputes length(span)+1 from
+    # the same doc_id recipe. Filter = substring-ONLY duplicates
+    # (is_dup below the jaccard threshold).
+    cfg = DedupConfig()
+    res = _run_pipeline(spark, sf_dir, "substring")
+    return (
+        res.pairs.where(
+            F.col("is_dup") & (F.col("jaccard") < cfg.jaccard_threshold)
+        )
+        .select("url_a", "url_b", F.col("lcs_len").cast("bigint").alias("lcs_len"))
+        .orderBy("url_a", "url_b")
+    )
+
+
+def q_embedding_dup_clusters(spark, sf_dir):
+    # embedding-cosine near-dup clustering (training-pipeline brief):
+    # connected components over the exact quantized-dot >= threshold edge
+    # set — the same operator the text pipeline uses (SURVEY O10), oracled
+    # by a DuckDB recursive closure over the identical edges. vec_ids are
+    # zero-padded before CC (its min() is lexicographic) so min-string ==
+    # min-numeric.
+    from video_duplicate_finder_python_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    pairs = q_embedding_dot_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.lpad(F.col("vec_a").cast("string"), 12, "0").alias("u"),
+        F.lpad(F.col("vec_b").cast("string"), 12, "0").alias("v"),
+    )
+    return (
+        connected_components(edges)
+        .select(
+            F.col("url").cast("bigint").alias("vec_id"),
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def q_media_sizes(spark, sf_dir):
+    # the SQL-checkable slice of the multimodal mapInPandas plumbing:
+    # n_bytes comes back from the Arrow batch iterator, so a hash match
+    # proves batch iteration and row alignment (width/height/features are
+    # blake2b-derived → rows-only via media_features)
+    from video_duplicate_finder_python_spark.functions.multimodal import decode_media
+
+    pages = documents_as_pages(spark, sf_dir)
+    return (
+        decode_media(pages, key_col="url", media_col="html")
+        .select("key", "n_bytes")
+        .orderBy("key")
+    )
+
+
 def q_minhash_signatures(spark, sf_dir):
     # SURVEY O2: 128-perm MinHash + 64-bit SimHash signatures. All columns
     # are canonical scalars — the minhash array is folded to an md5 digest
@@ -648,6 +708,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_with_exact": q_dedup_clusters_with_exact,
         "exact_pairs_expanded": q_exact_pairs_expanded,
         "substring_dup_clusters": q_substring_dup_clusters,
+        "substring_pair_spans": q_substring_pair_spans,
+        "embedding_dup_clusters": q_embedding_dup_clusters,
+        "media_sizes": q_media_sizes,
         "jaccard_clusters": q_jaccard_clusters,
         "shingle_counts": q_shingle_counts,
         "minhash_signatures": q_minhash_signatures,
@@ -804,6 +867,37 @@ def oracle_sql() -> dict[str, str]:
             "'https://docs.example/' || CAST(doc_id + 2000000 AS VARCHAR) "
             "FROM documents WHERE doc_id % 50 = 0 "
             "ORDER BY url"
+        ),
+        "substring_pair_spans": (
+            "SELECT 'https://docs.example/' || CAST(doc_id + 2000000 AS VARCHAR) AS url_a, "
+            "'https://docs.example/' || CAST(doc_id + 3000000 AS VARCHAR) AS url_b, "
+            "length(array_to_string(list_transform(generate_series(1, 150), "
+            "j -> 'w' || CAST(doc_id AS VARCHAR) || 'x' || CAST(j AS VARCHAR)), ' ')) + 1 AS lcs_len "
+            "FROM documents WHERE doc_id % 50 = 0 ORDER BY url_a, url_b"
+        ),
+        "embedding_dup_clusters": (
+            "WITH RECURSIVE "
+            "ez AS (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e "
+            "FROM embeddings), "
+            "jp AS (SELECT a.vec_id AS src, b.vec_id AS dst "
+            "FROM ez a JOIN ez b ON a.vec_id < b.vec_id "
+            "WHERE CAST(list_sum(list_transform(generate_series(1, len(a.e)), "
+            "i -> a.e[i] * b.e[i])) AS BIGINT) >= 450000000000), "
+            "edges AS (SELECT src, dst FROM jp UNION ALL SELECT dst, src FROM jp), "
+            "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+            "walk(node, reach) AS ("
+            "SELECT node, node FROM nodes "
+            "UNION "
+            "SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src) "
+            "SELECT node AS vec_id, CAST(min(reach) AS BIGINT) AS cluster_id "
+            "FROM walk GROUP BY node ORDER BY vec_id"
+        ),
+        "media_sizes": (
+            "SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS key, "
+            "octet_length(encode('<html><head><title>t' || CAST(doc_id AS VARCHAR) "
+            "|| '</title></head><body><p>' || text || '</p></body></html>')) AS n_bytes "
+            "FROM documents ORDER BY key"
         ),
         "jaccard_clusters": (
             "WITH RECURSIVE "

@@ -13,13 +13,13 @@ Usage (multi-executor cluster or local):
 The job is rerun-safe: stages resume from the checkpoint dir by
 fingerprint; the final write is an idempotent overwrite (the reference's
 delete-then-insert semantics, database.py:196-209). Checkpoint
-invalidation keys on (row count, url, warc_ts) — the size+mtime analog of
-the reference's staleness check — so a re-crawl landing under the same
-urls with fresh warc_ts recomputes every stage. If your source rewrites
-page CONTENT without advancing warc_ts, pass a fresh ``input_token``
-(e.g. the Iceberg snapshot id) through ``DedupPipeline.run`` or clear the
-checkpoint dir; url-set-identical byte-edits with identical timestamps
-are indistinguishable to the cheap digest by design.
+invalidation keys on (row count, url, warc_ts, length(html)) — the
+size+mtime analog of the reference's staleness check — so a re-crawl
+landing under the same urls recomputes every stage even when it reuses
+the old timestamps, unless the rewrite preserves every page's byte
+length exactly. For that last residual (or to skip the digest scan
+entirely), pass a fresh ``input_token`` (e.g. the Iceberg snapshot id)
+through ``DedupPipeline.run`` or clear the checkpoint dir.
 """
 
 from __future__ import annotations
