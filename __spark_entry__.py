@@ -668,6 +668,16 @@ def q_ann_lsh_q0(spark, sf_dir):
     return lsh_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
+def q_ann_ivf_q0(spark, sf_dir):
+    # IVF coarse-quantizer ANN (the second scale structure beside the
+    # hyperplane-LSH tables; the brief names "IVF or LSH-bucketed" — both
+    # are implemented). Rows-only: k-means cells have no SQL oracle;
+    # exactness baseline is knn_cosine_q0, recall pytest-verified.
+    from video_duplicate_finder_python_spark.operators.ann import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
 def q_media_features(spark, sf_dir):
     # multimodal plumbing: binary media -> typed features via mapInPandas
     # (deterministic fake decode; real codecs are stubbed, see
@@ -717,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_fingerprints": q_cdc_fingerprints,
         "knn_cosine_q0": q_knn_cosine_q0,
         "ann_lsh_q0": q_ann_lsh_q0,
+        "ann_ivf_q0": q_ann_ivf_q0,
         "media_features": q_media_features,
     }
 

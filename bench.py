@@ -90,8 +90,14 @@ def main() -> None:
     for name in bench_names:
         queries[name] = best_of(lambda: all_queries[name](spark, sf_dir))
 
-    # ANN scale path: ONE index build (corpus UDF pass) amortized over a
+    # ANN scale paths: ONE index build (corpus UDF pass) amortized over a
     # probe-join query batch — probe must cost a small fraction of build
+    from video_duplicate_finder_python_spark.operators.ann import (
+        build_ivf_index,
+        ivf_probe,
+        train_ivf_centroids,
+    )
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with tempfile.TemporaryDirectory() as tmp:
         idx_path = f"{tmp}/ann_index"
@@ -101,6 +107,16 @@ def main() -> None:
         index = spark.read.parquet(idx_path)
         queries["ann_probe_batch8"] = best_of(
             lambda: ann_probe(index, emb, query_ids=list(range(8)), k=10)
+        )
+
+        ivf_path = f"{tmp}/ivf_index"
+        t0 = time.monotonic()
+        cents = train_ivf_centroids(emb)
+        build_ivf_index(emb, cents).write.mode("overwrite").parquet(ivf_path)
+        queries["ivf_build_index"] = round(time.monotonic() - t0, 3)
+        ivf_index = spark.read.parquet(ivf_path)
+        queries["ivf_probe_batch8"] = best_of(
+            lambda: ivf_probe(ivf_index, emb, cents, query_ids=list(range(8)), k=10)
         )
 
     total = time.monotonic() - t_total0

@@ -61,6 +61,73 @@ def test_ann_lsh_recall_vs_brute(spark, embeddings):
     assert approx == approx2
 
 
+def test_ivf_recall_vs_brute_and_determinism(spark, embeddings):
+    """IVF coarse-quantizer ANN on the sandbox's isotropic (near-random)
+    embeddings: recall is information-theoretically bounded by the scan
+    fraction in this regime (see ivf_probe docstring), so the bar is
+    recall clearly ABOVE the scan fraction — the cells must carry signal —
+    plus sublinearity and determinism (seeded driver-side Lloyd over a
+    hash-ordered sample, no RNG in Spark)."""
+    from video_duplicate_finder_python_spark.operators.ann import (
+        build_ivf_index,
+        ivf_probe,
+        train_ivf_centroids,
+    )
+
+    import numpy as np
+
+    from video_duplicate_finder_python_spark.operators.ann import _nearest_centroids
+
+    brute = [r["vec_id"] for r in brute_force_topk(embeddings, 0, k=10).collect()]
+    cents = train_ivf_centroids(embeddings)
+    index = build_ivf_index(embeddings, cents)
+    n_total = embeddings.count()
+    out = ivf_probe(index, embeddings, cents, [0], k=10, n_probe=16)
+    approx = [r["vec_id"] for r in out.collect()]
+    overlap = len(set(brute) & set(approx))
+    # 16 of 64 cells ≈ 25% scan; random cell assignment would give ~2.5/10
+    assert overlap >= 4, (brute, approx)
+    # sublinear: the probed cells hold well under the whole corpus
+    q_vec = np.asarray(
+        embeddings.where("vec_id = 0").first()["embedding"], dtype=np.float64
+    )
+    probed = [int(c) for c in _nearest_centroids(q_vec[None, :], cents, 16)[0]]
+    scanned = index.where(F.col("centroid_id").isin(probed)).count()
+    assert scanned < 0.6 * n_total, (scanned, n_total)
+    approx2 = [
+        r["vec_id"]
+        for r in ivf_probe(index, embeddings, cents, [0], k=10, n_probe=16).collect()
+    ]
+    assert approx == approx2
+
+
+def test_ivf_materialized_index_probe_batch(spark, embeddings, tmp_path):
+    """The scale path: train once, assign once (the only corpus pass),
+    materialize the (vec_id, centroid_id) index, then serve a query batch
+    by probe-join — k rows per query, no corpus-wide UDF in the probe."""
+    from video_duplicate_finder_python_spark.operators.ann import (
+        build_ivf_index,
+        ivf_probe,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(embeddings)
+    idx_path = str(tmp_path / "ivf_index")
+    build_ivf_index(embeddings, cents).write.mode("overwrite").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    out = ivf_probe(index, embeddings, cents, query_ids=[0, 1, 2, 3], k=5)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert set(per_q) == {0, 1, 2, 3}
+    assert all(len(v) == 5 for v in per_q.values())
+    # the probe plan's only Python UDF input is the query batch, not the
+    # corpus: the index side arrives via the parquet scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") <= 2  # probe + (broadcast) queries
+
+
 def test_quantized_dot_udf_matches_hof_exactly(spark, embeddings):
     """The Arrow/BLAS quantized dot (scale path) must reproduce the
     interpreted-HOF integer dot bit-for-bit — same quantization (round

@@ -215,6 +215,167 @@ def ann_probe(
     )
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second canonical scale structure beside the
+# hyperplane-LSH tables: a coarse k-means quantizer partitions the corpus
+# into centroid cells; a query probes only its n_probe nearest cells.
+# Training is a driver-side NumPy Lloyd loop over a deterministic bounded
+# sample (TakeOrdered by xxhash64(vec_id) — no full sort, no RNG in Spark);
+# assignment is one Arrow-UDF matmul pass (the single corpus-wide job,
+# mirroring build_ann_index); probing touches O(|cells probed|) rows via a
+# plain hash join, never the corpus.
+# --------------------------------------------------------------------------
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 64,
+    train_size: int = 4096,
+    n_iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """→ (n_centroids, dim) float64 centroid matrix.
+
+    Deterministic: the training sample is the ``train_size`` rows with the
+    smallest xxhash64(vec_id) (a pseudo-random but stable choice Spark
+    executes as TakeOrdered — O(n) scan + per-partition heap, no shuffle),
+    and Lloyd runs a fixed ``n_iters`` from a seeded init. Sample and
+    centroids are tiny (MBs) by construction, so driver-side NumPy is the
+    right venue — the corpus never participates in training."""
+    sample = (
+        embeddings.select("embedding", F.xxhash64("vec_id").alias("_h"))
+        .orderBy("_h")
+        .limit(train_size)
+        .collect()
+    )
+    x = _l2_normalize(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample])
+    )
+    k = min(n_centroids, x.shape[0])
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(x.shape[0], size=k, replace=False)].copy()
+    for _ in range(n_iters):
+        # spherical k-means: on the unit sphere argmin ||x-c||² == argmax x·c,
+        # so cells align with COSINE ranking (plain L2 cells do not when
+        # vector norms vary — measured recall 3/10 vs 8+/10 here)
+        assign = (x @ cents.T).argmax(axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if members.shape[0]:
+                cents[j] = members.mean(axis=0)
+        cents = _l2_normalize(cents)
+    return cents
+
+
+def _l2_normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return m / norms
+
+
+def _nearest_centroids(mat: np.ndarray, cents: np.ndarray, n: int) -> np.ndarray:
+    # spherical cells: rank by dot with the normalized vector (centroids
+    # are unit-norm from training)
+    d2 = -(_l2_normalize(mat) @ cents.T)
+    if n == 1:
+        return d2.argmin(axis=1)[:, None]
+    idx = np.argpartition(d2, n - 1, axis=1)[:, :n]
+    order = np.take_along_axis(d2, idx, axis=1).argsort(axis=1)
+    return np.take_along_axis(idx, order, axis=1)
+
+
+def make_ivf_assign_udf(cents: np.ndarray, n_probe: int = 1):
+    @F.pandas_udf(T.ArrayType(T.IntegerType(), False))
+    def assign_udf(emb: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        return pd.Series(list(_nearest_centroids(mat, cents, n_probe).astype(np.int32)))
+
+    return assign_udf
+
+
+def build_ivf_index(embeddings: DataFrame, cents: np.ndarray) -> DataFrame:
+    """→ index ``(vec_id, centroid_id)`` — the one corpus-wide pass.
+    Materialize it (parquet/Iceberg, optionally partitioned by
+    ``centroid_id`` so probes prune files) and serve query batches from
+    ``ivf_probe``."""
+    assign_udf = make_ivf_assign_udf(cents, n_probe=1)
+    return embeddings.select(
+        "vec_id", F.explode(assign_udf("embedding")).alias("centroid_id")
+    )
+
+
+def ivf_probe(
+    index: DataFrame,
+    embeddings: DataFrame,
+    cents: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = 16,
+) -> DataFrame:
+    """Top-k per query via the IVF index — same plan shape as ann_probe:
+    the n_probe-cell UDF runs over |queries| rows only, the (broadcast)
+    probe list hash-joins the index, and exact cosine scores only the
+    joined candidates. → ``(query_id, vec_id, cosine)``.
+
+    Recall note: on *clusterable* embeddings (real text/image encoders)
+    a small n_probe recovers most true neighbors; on isotropic
+    near-random vectors (the sandbox testdata: pairwise cosine ~N(0,σ),
+    top-10 at 0.28–0.37) every coarse quantizer's recall is bounded by
+    the fraction of cells scanned — measured here 2/10 at 8 of 64 cells
+    rising to 8/10 at 32 — so n_probe is the explicit recall/cost dial,
+    not a tuning failure."""
+    probe_udf = make_ivf_assign_udf(cents, n_probe=n_probe)
+    queries = embeddings.where(
+        F.col("vec_id").isin([int(q) for q in query_ids])
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    probes = queries.select(
+        "query_id", "q_emb", F.explode(probe_udf("q_emb")).alias("centroid_id")
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(index, "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    scored = (
+        cands.join(embeddings, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_col(F.col("embedding"), F.col("q_emb")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 16,
+    seed: int = 42,
+    index: DataFrame | None = None,
+    cents: np.ndarray | None = None,
+) -> DataFrame:
+    """Single-query convenience wrapper (train + build inline when no
+    materialized index is passed — fine ad hoc, wasteful for many)."""
+    if cents is None:
+        cents = train_ivf_centroids(embeddings, n_centroids, seed=seed)
+    if index is None:
+        index = build_ivf_index(embeddings, cents)
+    return (
+        ivf_probe(index, embeddings, cents, [query_id], k, n_probe)
+        .select("vec_id", "cosine")
+        .orderBy(F.desc("cosine"), "vec_id")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_id: int,
