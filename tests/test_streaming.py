@@ -226,3 +226,66 @@ def test_store_clear_all_and_cleanup_missing(spark, tmp_path):
     # truncate (clear_all analog)
     store.clear_all()
     assert store.read().count() == 0
+
+
+def _pages_rows(urls_texts):
+    return [
+        (u, None, f"<html><head><title>x</title></head><body><p>{t}</p></body></html>".encode(),
+         None, "en")
+        for u, t in urls_texts
+    ]
+
+
+def test_stateful_duplicate_group_tracking(spark, tmp_path):
+    """applyInPandasWithState duplicate-group tracker: groups keyed by
+    content hash carry (min-url representative, member count) as streaming
+    state; updates are emitted per changed group; state survives a restart
+    from the stream checkpoint (second availableNow pass resumes, a
+    smaller url takes over as representative — the batch pipeline's
+    cluster_id = min(url) invariant, live)."""
+    from video_duplicate_finder_python_spark.streaming.ingest import PAGES_SCHEMA
+    from video_duplicate_finder_python_spark.streaming.stateful import (
+        track_duplicate_groups,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    schema_cols = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+    spark.createDataFrame(
+        _pages_rows(
+            [("u01", "alpha text body"), ("u02", "alpha text body"),
+             ("u03", "beta text body"), ("u04", "beta text body"),
+             ("u05", "gamma text body"), ("u06", "delta text body")]
+        ),
+        schema_cols,
+    ).write.mode("append").parquet(src)
+
+    def run_pass(sink: list):
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+        q = (
+            track_duplicate_groups(stream, n_shards=4)
+            .writeStream.foreachBatch(lambda df, _id: sink.extend(df.collect()))
+            .outputMode("update").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    rows1: list = []
+    run_pass(rows1)
+    by_rep1 = {r["rep_url"]: r["n_members"] for r in rows1}
+    assert len(rows1) == 4  # alpha, beta, gamma, delta
+    assert by_rep1 == {"u01": 2, "u03": 2, "u05": 1, "u06": 1}
+
+    # second drop: u00 duplicates alpha with a SMALLER url (rep must flip),
+    # u07 brings new content epsilon
+    spark.createDataFrame(
+        _pages_rows([("u00", "alpha text body"), ("u07", "epsilon text body")]),
+        schema_cols,
+    ).write.mode("append").parquet(src)
+
+    rows2: list = []
+    run_pass(rows2)
+    updates = {r["rep_url"]: r["n_members"] for r in rows2}
+    # only the two touched groups were emitted, counts resumed from state
+    assert updates == {"u00": 3, "u07": 1}
