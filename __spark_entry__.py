@@ -668,6 +668,22 @@ def q_ann_lsh_q0(spark, sf_dir):
     return lsh_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
+def q_simhash_dup_pairs(spark, sf_dir):
+    # SimHash as an explicit dedup method entry (the brief's five methods:
+    # exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine —
+    # the other four have hash-matched oracles; SimHash bits derive from
+    # blake2b token hashes DuckDB can't reproduce, so rows-only; the
+    # pigeonhole recall guarantee is pytest-verified). Pairs whose SimHash
+    # pigeonhole chunks collided and verified as duplicates, with the
+    # exact 64-bit Hamming distance.
+    res = _run_pipeline(spark, sf_dir, "base")
+    return (
+        res.pairs.where(F.array_contains("sources", "simhash") & F.col("is_dup"))
+        .select("url_a", "url_b", "hamming")
+        .orderBy("url_a", "url_b")
+    )
+
+
 def q_ann_ivf_q0(spark, sf_dir):
     # IVF coarse-quantizer ANN (the second scale structure beside the
     # hyperplane-LSH tables; the brief names "IVF or LSH-bucketed" — both
@@ -728,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_q0": q_knn_cosine_q0,
         "ann_lsh_q0": q_ann_lsh_q0,
         "ann_ivf_q0": q_ann_ivf_q0,
+        "simhash_dup_pairs": q_simhash_dup_pairs,
         "media_features": q_media_features,
     }
 

@@ -100,6 +100,27 @@ def main() -> None:
     )
     check("ann_probe: probe side broadcast", "BroadcastHashJoin" in probe_plan, probe_plan)
 
+    # 3b. IVF probe: same contract — no corpus-side UDF at query time
+    from video_duplicate_finder_python_spark.operators.ann import (
+        build_ivf_index,
+        ivf_probe,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(emb)
+    ivf_path = "/tmp/vdf_explain_ivf_idx"
+    build_ivf_index(emb, cents).write.mode("overwrite").parquet(ivf_path)
+    ivf_plan = (
+        ivf_probe(spark.read.parquet(ivf_path), emb, cents, [0, 1], k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "ivf_probe: every Python UDF is the |queries|-row assign UDF",
+        ivf_plan.count("ArrowEvalPython") == ivf_plan.count("assign_udf("),
+        ivf_plan,
+    )
+    check("ivf_probe: probe side broadcast", "BroadcastHashJoin" in ivf_plan, ivf_plan)
+
     # 4. verify: single pandas-UDF node (single-pass slow path)
     pages = documents_as_pages(spark, SF_DIR)
     docs_df = pages.select("url", F.col("text"))

@@ -236,6 +236,61 @@ def _pages_rows(urls_texts):
     ]
 
 
+def test_windowed_crawl_stats_watermark_drops_late_rows(spark, tmp_path):
+    """Watermarked event-time windows: a row arriving after its window's
+    watermark passed is dropped; finalized windows are emitted exactly
+    once (append mode) with counts that include on-time late data."""
+    from datetime import datetime
+
+    from video_duplicate_finder_python_spark.streaming.ingest import PAGES_SCHEMA
+    from video_duplicate_finder_python_spark.streaming.windowed import (
+        windowed_crawl_stats,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    cols = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+    def page(url, ts, lang="en"):
+        return (url, datetime.fromisoformat(ts), b"<html><body><p>x</p></body></html>", None, lang)
+
+    emitted: list = []
+
+    def run_pass():
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+        q = (
+            windowed_crawl_stats(stream, window="1 hour", watermark="2 hours")
+            .writeStream.foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two pages in the 10:00 window, one at 15:00 → watermark 13:00
+    spark.createDataFrame(
+        [page("u1", "2025-01-01 10:10:00"), page("u2", "2025-01-01 10:40:00"),
+         page("u3", "2025-01-01 15:00:00")],
+        cols,
+    ).write.mode("append").parquet(src)
+    run_pass()
+
+    # batch 2: u4 is LATE but its window (10:00) is already past the 13:00
+    # watermark → dropped; u5 advances time further
+    spark.createDataFrame(
+        [page("u4", "2025-01-01 10:50:00"), page("u5", "2025-01-01 20:00:00")],
+        cols,
+    ).write.mode("append").parquet(src)
+    run_pass()
+
+    finalized = {
+        (str(r["window_start"]), r["lang"]): r["n_pages"] for r in emitted
+    }
+    # the 10:00 window was finalized with the two ON-TIME rows; u4 never counted
+    assert finalized[("2025-01-01 10:00:00", "en")] == 2
+    # exactly-once emission: no duplicate (window, lang) rows
+    assert len(finalized) == len(emitted)
+
+
 def test_stateful_duplicate_group_tracking(spark, tmp_path):
     """applyInPandasWithState duplicate-group tracker: groups keyed by
     content hash carry (min-url representative, member count) as streaming
