@@ -246,6 +246,8 @@ def train_ivf_centroids(
         .limit(train_size)
         .collect()
     )
+    if not sample:
+        raise ValueError("cannot train IVF centroids on an empty embeddings table")
     x = _l2_normalize(
         np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample])
     )
@@ -274,6 +276,7 @@ def _l2_normalize(m: np.ndarray) -> np.ndarray:
 def _nearest_centroids(mat: np.ndarray, cents: np.ndarray, n: int) -> np.ndarray:
     # spherical cells: rank by dot with the normalized vector (centroids
     # are unit-norm from training)
+    n = min(n, cents.shape[0])  # n_probe beyond the cell count = full scan
     d2 = -(_l2_normalize(mat) @ cents.T)
     if n == 1:
         return d2.argmin(axis=1)[:, None]
