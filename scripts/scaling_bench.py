@@ -84,6 +84,16 @@ def main() -> None:
     out_md = sys.argv[5] if len(sys.argv) > 5 else "BASELINE.md"
     low, low_all = best_of(n_low, parquet, repeats)
     high, high_all = best_of(n_high, parquet, repeats)
+    # parallelism invariance: the engine must produce the IDENTICAL
+    # clustering at every level — a determinism check at a scale the
+    # quadratic oracle can't reach (task order, shuffle partitioning, and
+    # AQE decisions differ across levels; the result must not)
+    if low["n_cluster_members"] != high["n_cluster_members"]:
+        raise SystemExit(
+            f"cluster count diverged across parallelism levels: "
+            f"{low['n_cluster_members']} @ local[{n_low}] vs "
+            f"{high['n_cluster_members']} @ local[{n_high}]"
+        )
     factor = n_high / n_low
     eff = (high["docs_per_sec"] / low["docs_per_sec"]) / factor
 
