@@ -332,6 +332,51 @@ def q_latest_event_per_user(spark, sf_dir):
     )
 
 
+def q_user_sessions(spark, sf_dir):
+    # gap-based sessionization — the window-function depth beyond
+    # row_number (lag + conditional cumulative sum), a standard
+    # training-data-pipeline shape (grouping user activity into sessions
+    # at a 30-minute inactivity gap)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; NTZ→LTZ under the session's UTC tz, then epoch
+    # seconds — numerically identical to DuckDB's epoch(ts)
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_s - F.lag(ts_s).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "session_no", F.sum(is_new).over(w)
+    )
+    return (
+        ev.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+def q_events_rollup(spark, sf_dir):
+    # grouping-sets aggregate (rollup over day × event_type) — subtotal and
+    # grand-total rows coalesced to 'ALL' so the canonical compare is
+    # null-free
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return (
+        ev.rollup("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
 def q_customers_without_orders(spark, sf_dir):
     # anti-join (SURVEY O3's shape)
     c = _t(spark, sf_dir, "customer")
@@ -722,6 +767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_count": q_order_priority_count,
         "events_daily": q_events_daily,
         "latest_event_per_user": q_latest_event_per_user,
+        "user_sessions": q_user_sessions,
+        "events_rollup": q_events_rollup,
         "customers_without_orders": q_customers_without_orders,
         "knn_dot_q0": q_knn_dot_q0,
         "knn_dot_q0_udf": q_knn_dot_q0_udf,
@@ -986,6 +1033,25 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT user_id, event_id, event_type, "
             "  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn"
             "  FROM events) WHERE rn = 1 ORDER BY user_id"
+        ),
+        "user_sessions": (
+            "WITH g AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN epoch(ts) - lag(epoch(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) > 1800 "
+            "OR lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+            "THEN 1 ELSE 0 END AS is_new FROM events), "
+            "s AS (SELECT user_id, ts, SUM(is_new) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS session_no FROM g) "
+            "SELECT user_id, session_no, count(*) AS n_events, "
+            "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start "
+            "FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no"
+        ),
+        "events_rollup": (
+            "SELECT coalesce(day, 'ALL') AS day, "
+            "coalesce(event_type, 'ALL') AS event_type, count(*) AS n_events "
+            "FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type FROM events) "
+            "GROUP BY ROLLUP(day, event_type) ORDER BY day, event_type"
         ),
         "customers_without_orders": (
             "SELECT c_custkey AS custkey, c_name AS name FROM customer "
