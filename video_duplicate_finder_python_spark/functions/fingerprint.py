@@ -34,13 +34,17 @@ _BASE = np.uint64(1099511628211)  # FNV prime as polynomial base
 
 
 def _rolling_hashes(data: np.ndarray, window: int) -> np.ndarray:
-    """H[i] = sum_j data[i+j] * BASE^(window-1-j) (mod 2^64), vectorized."""
+    """H[i] = sum_j data[i+j] * BASE^(window-1-j) (mod 2^64), vectorized.
+    One uint64 conversion up front — the previous shape converted the
+    whole array once per window position (48×), which dominated the CDC
+    stage's per-doc cost."""
     n = data.shape[0]
+    d64 = data.astype(np.uint64)
     out = np.zeros(n - window + 1, dtype=np.uint64)
     pw = np.uint64(1)
     with np.errstate(over="ignore"):
         for j in range(window - 1, -1, -1):
-            out += data[j : j + n - window + 1].astype(np.uint64) * pw
+            out += d64[j : j + n - window + 1] * pw
             pw = pw * _BASE
     return out
 

@@ -54,7 +54,8 @@ def minhash_of(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray
         return np.full(a.shape[0], EMPTY_SENTINEL, dtype=np.int32)
     h = shingles.astype(np.uint64, copy=False)
     with np.errstate(over="ignore"):
-        vals = a[:, None] * h[None, :] + b[:, None]  # uint64 wraparound
+        vals = a[:, None] * h[None, :]  # uint64 wraparound
+        vals += b[:, None]  # in-place: one (perms × n) temp, not two (20% of the stage)
     return (vals.min(axis=1) >> np.uint64(33)).astype(np.int32)
 
 
@@ -67,9 +68,8 @@ def simhash_of(shingles: np.ndarray) -> int:
     shifts = np.arange(64, dtype=np.uint64)
     bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
     maj = bits.sum(axis=0) * 2 >= h.size
-    packed = 0
-    for i in np.flatnonzero(maj):
-        packed |= 1 << int(i)
+    # distinct powers of two: the sum IS the bitwise OR, exact in uint64
+    packed = int((maj.astype(np.uint64) << shifts).sum(dtype=np.uint64))
     return packed - (1 << 64) if packed >= (1 << 63) else packed
 
 
@@ -177,10 +177,15 @@ def batch_shingle_hashes(texts, k: int) -> list[np.ndarray]:
     uniq_hashes = np.fromiter(
         (_token_hash(t) for t in uniques), dtype=np.uint64, count=len(uniques)
     )
-    h_all = uniq_hashes[codes]
     offs = np.concatenate([[0], np.cumsum(lens)])
+    # gather per doc, NOT batch-wide: uniq_hashes[codes] over the whole
+    # batch materializes a fresh tokens×8B array and runs ~15× slower on
+    # this host class (measured 4.8 s vs 0.2 s for 3.9M tokens — large
+    # fresh allocations + cache-hostile access; same wall the
+    # make_text_signature_udf docstring documents). Per-doc gathers are
+    # ~10 KB temporaries the allocator recycles at full speed.
     return [
-        _shingles_from_hashes(h_all[offs[i] : offs[i + 1]], k)
+        _shingles_from_hashes(uniq_hashes[codes[offs[i] : offs[i + 1]]], k)
         for i in range(len(toks_per_doc))
     ]
 
