@@ -1035,14 +1035,19 @@ def oracle_sql() -> dict[str, str]:
             "  FROM events) WHERE rn = 1 ORDER BY user_id"
         ),
         "user_sessions": (
+            # floor(epoch(ts)): DuckDB's epoch() is fractional-seconds;
+            # Spark's cast-to-long truncates — floor makes the two
+            # sessionizations identical by construction, not by luck.
+            # CAST(... AS BIGINT): DuckDB's windowed SUM returns HUGEINT,
+            # which canonicalizes as float vs Spark's bigint.
             "WITH g AS (SELECT user_id, ts, event_id, "
-            "CASE WHEN epoch(ts) - lag(epoch(ts)) OVER "
+            "CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) > 1800 "
-            "OR lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+            "OR lag(floor(epoch(ts))) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
             "THEN 1 ELSE 0 END AS is_new FROM events), "
-            "s AS (SELECT user_id, ts, SUM(is_new) OVER "
+            "s AS (SELECT user_id, ts, CAST(SUM(is_new) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id "
-            "ROWS UNBOUNDED PRECEDING) AS session_no FROM g) "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM g) "
             "SELECT user_id, session_no, count(*) AS n_events, "
             "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start "
             "FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no"

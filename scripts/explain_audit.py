@@ -35,6 +35,33 @@ def check(name: str, ok: bool, detail: str = "") -> None:
             print(detail[:2000])
 
 
+def node_subtrees(plan: str, node: str) -> list[str]:
+    """Each occurrence of ``node`` in a plan string → the text of its
+    subtree (the following lines whose tree-prefix is strictly deeper),
+    so a check can assert what a specific operator actually reads instead
+    of grepping the whole plan."""
+
+    def depth(line: str) -> int:
+        i = 0
+        while i < len(line) and line[i] in " :+-*(0123456789)":
+            i += 1
+        return i
+
+    lines = plan.splitlines()
+    out = []
+    for idx, line in enumerate(lines):
+        if node not in line:
+            continue
+        d = depth(line)
+        sub = [line]
+        for nxt in lines[idx + 1 :]:
+            if nxt.strip() and depth(nxt) <= d:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -114,10 +141,23 @@ def main() -> None:
         ivf_probe(spark.read.parquet(ivf_path), emb, cents, [0, 1], k=5)
         ._jdf.queryExecution().executedPlan().toString()
     )
+    # the previous form (count('ArrowEvalPython') == count('assign_udf('))
+    # was vacuous — every ArrowEvalPython line itself names the UDF, so a
+    # corpus-side regression would bump both counts equally. Assert the
+    # node count exactly AND that the one UDF node's own subtree reads the
+    # In(vec_id,...)-filtered query scan, not the unfiltered corpus scan.
+    udf_subtrees = node_subtrees(ivf_plan, "ArrowEvalPython")
     check(
-        "ivf_probe: every Python UDF is the |queries|-row assign UDF",
-        ivf_plan.count("ArrowEvalPython") == ivf_plan.count("assign_udf("),
+        "ivf_probe: exactly one Python UDF node (the assign UDF)",
+        len(udf_subtrees) == 1 and "assign_udf(" in udf_subtrees[0],
         ivf_plan,
+    )
+    check(
+        "ivf_probe: the assign UDF runs over the query rows only",
+        bool(udf_subtrees)
+        and "In(vec_id" in udf_subtrees[0]
+        and udf_subtrees[0].count("FileScan") == 1,
+        udf_subtrees[0] if udf_subtrees else ivf_plan,
     )
     check("ivf_probe: probe side broadcast", "BroadcastHashJoin" in ivf_plan, ivf_plan)
 

@@ -50,3 +50,14 @@ def test_gated_calls_fail_fast_with_guidance(spark):
         merge_upsert(spark, "lake.t", df, keys=["url"])
     with pytest.raises(RuntimeError, match="Iceberg catalog"):
         current_snapshot_id(spark, "lake.t")
+
+
+def test_merge_upsert_sql_all_key_columns_is_insert_only():
+    """columns ⊆ keys: 'UPDATE SET' with an empty assignment list is a
+    parse error on real Iceberg, and a matched row is already identical —
+    the builder must emit an insert-only merge (ADVICE r3)."""
+    sql = merge_upsert_sql("t", "v", keys=["url", "ts"], columns=["url", "ts"])
+    assert "WHEN MATCHED" not in sql
+    assert "UPDATE SET" not in sql
+    assert "WHEN NOT MATCHED THEN INSERT (url, ts) VALUES (s.url, s.ts)" in sql
+    assert "ON t.url = s.url AND t.ts = s.ts" in sql

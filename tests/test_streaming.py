@@ -344,3 +344,55 @@ def test_stateful_duplicate_group_tracking(spark, tmp_path):
     updates = {r["rep_url"]: r["n_members"] for r in rows2}
     # only the two touched groups were emitted, counts resumed from state
     assert updates == {"u00": 3, "u07": 1}
+
+
+def test_vacuum_removes_dead_generation_despite_success_marker(spark, tmp_path):
+    """A generation whose every partition has been superseded must be
+    removed entirely: Spark's _SUCCESS marker at the generation root does
+    not count as live content (ADVICE r3 — the pathlib emptiness check
+    could never fire because of the marker, so dead gen-* dirs accumulated
+    forever)."""
+    store = SignatureStore(spark, str(tmp_path / "s"), n_parts=2)
+    df = spark.createDataFrame([(f"u{i}", i) for i in range(10)], ["url", "payload"])
+    store.swap_in(df)
+    gen1 = {(store.base / rel).parent.name for rel in store.manifest().values()}
+    assert len(gen1) == 1
+    assert (store.base / next(iter(gen1)) / "_SUCCESS").exists()
+
+    # swap_in again: every partition of gen1 is superseded at once
+    store.swap_in(df)
+    removed = store.vacuum()
+    assert removed == 2
+    remaining_gens = {g.name for g in store.base.glob("gen-*")}
+    assert gen1.isdisjoint(remaining_gens)  # dead gen dir gone, marker and all
+    assert store.read().count() == 10
+
+
+def test_part_rows_backfills_legacy_manifest(spark, tmp_path):
+    """A manifest written before row counts existed (or missing some
+    partitions' counts) is backfilled once from the live partitions'
+    parquet footers, so row_count()/delete_urls never operate on
+    incomplete counts (ADVICE r3)."""
+    import json
+
+    store = SignatureStore(spark, str(tmp_path / "s"), n_parts=4)
+    df = spark.createDataFrame([(f"u{i}", i) for i in range(20)], ["url", "payload"])
+    store.swap_in(df)
+    true_rows = store.part_rows()
+    assert sum(true_rows.values()) == 20
+
+    # simulate a legacy manifest: strip the rows key entirely
+    mpath = store.base / SignatureStore.MANIFEST
+    doc = json.loads(mpath.read_text())
+    del doc["rows"]
+    mpath.write_text(json.dumps(doc))
+
+    reopened = SignatureStore(spark, str(tmp_path / "s"))
+    assert reopened.part_rows() == true_rows          # backfilled from footers
+    assert reopened.row_count() == 20
+    # and the backfill persisted: the manifest now carries the counts
+    assert json.loads(mpath.read_text())["rows"] == {
+        k: int(v) for k, v in true_rows.items()
+    }
+    # deletes computed against backfilled counts report the true delta
+    assert reopened.delete_urls(["u3"]) == 1

@@ -32,14 +32,26 @@ def content_hash_col(text_col) -> Column:
     return F.unhex(F.md5(text_col))
 
 
+def _with_content_hash(docs: DataFrame) -> DataFrame:
+    """Reuse a persisted ``content_hash`` when the caller already paid for
+    it (the pipeline's docs checkpoint stores it); hashing the full text
+    column twice is an avoidable second full-corpus pass at 10^12 docs."""
+    if "content_hash" in docs.columns:
+        return docs
+    return docs.withColumn("content_hash", content_hash_col(F.col("text")))
+
+
 def exact_representatives(docs: DataFrame) -> DataFrame:
     """``docs(url, text, ...)`` → ``rep_docs``: one row per distinct
     ``content_hash`` — the min-url representative, with
     ``url, text, content_hash, group_size``.
 
     One shuffle on ``content_hash``; the follow-up join is co-partitioned.
+    A ``content_hash`` column already present on ``docs`` (the pipeline
+    persists it into the docs checkpoint) is reused as-is — no second
+    full-corpus md5 pass.
     """
-    hashed = docs.withColumn("content_hash", content_hash_col(F.col("text")))
+    hashed = _with_content_hash(docs)
     reps = hashed.groupBy("content_hash").agg(
         F.min("url").alias("rep_url"), F.count(F.lit(1)).alias("group_size")
     )
@@ -60,7 +72,7 @@ def exact_edges_from(docs: DataFrame, rep_docs: DataFrame) -> DataFrame:
     dup_reps = rep_docs.where(F.col("group_size") > 1).select(
         "content_hash", F.col("url").alias("rep_url")
     )
-    hashed = docs.withColumn("content_hash", content_hash_col(F.col("text")))
+    hashed = _with_content_hash(docs)
     return (
         hashed.join(dup_reps, "content_hash")
         .where(F.col("url") != F.col("rep_url"))

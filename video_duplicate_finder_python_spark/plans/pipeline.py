@@ -143,10 +143,18 @@ class DedupPipeline:
         # implementations agree), but the html bytes never cross the
         # JVM→Arrow→Python boundary — at corpus scale that transfer is
         # pure overhead and the regexes run inside whole-stage codegen.
+        # content_hash is computed here ONCE and persisted with the docs
+        # checkpoint: both downstream consumers (exact_representatives and
+        # exact_edges_from) reuse it instead of each re-hashing the full
+        # text column — one avoided full-corpus md5 pass.
+        from ..operators.exact import content_hash_col
+
+        text = extract_text_col(F.col("html"))
         return pages.select(
             "url",
             "lang",
-            extract_text_col(F.col("html")).alias("text"),
+            text.alias("text"),
+            content_hash_col(text).alias("content_hash"),
         )
 
     def _signatures(self, rep_docs: DataFrame) -> DataFrame:
@@ -245,7 +253,11 @@ class DedupPipeline:
         self._cancelled = False
         token = input_token if input_token is not None else self.input_digest(pages)
 
-        fp_docs = self._fp("docs", extra=token)
+        # "docs-v2": the docs checkpoint schema gained content_hash; the
+        # fingerprint bump invalidates pre-existing checkpoints written
+        # without it (the fallback in operators/exact.py would still work,
+        # but a cached stage should carry the schema its version promises)
+        fp_docs = self._fp("docs-v2", extra=token)
         docs = self._stage("docs", fp_docs, lambda: self._extract(pages))
 
         fp_exact = self._fp("exact", fp_docs)

@@ -45,9 +45,18 @@ def merge_upsert_sql(table: str, source_view: str, keys: list[str], columns: lis
     if not keys or not columns:
         raise ValueError("keys and columns must be non-empty")
     on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-    sets = ", ".join(f"t.{c} = s.{c}" for c in columns if c not in keys)
+    non_key = [c for c in columns if c not in keys]
     cols = ", ".join(columns)
     vals = ", ".join(f"s.{c}" for c in columns)
+    if not non_key:
+        # every column is a key: 'UPDATE SET' with no assignments is a
+        # parse error on a real Iceberg deployment, and a matched row is
+        # by definition already identical — emit an insert-only merge
+        return (
+            f"MERGE INTO {table} t USING {source_view} s ON {on} "
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+        )
+    sets = ", ".join(f"t.{c} = s.{c}" for c in non_key)
     return (
         f"MERGE INTO {table} t USING {source_view} s ON {on} "
         f"WHEN MATCHED THEN UPDATE SET {sets} "

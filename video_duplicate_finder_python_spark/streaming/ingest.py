@@ -63,14 +63,37 @@ class SignatureStore:
     ``_MANIFEST`` (JSON, replaced via rename) maps partition id → relative
     generation path. Untouched partitions keep their exact files across
     updates — the property the O(delta) upsert and the incremental tests
-    rely on."""
+    rely on.
+
+    All metadata IO (manifest, schema, parquet footer row counts, GC
+    listing) goes through ``pyarrow.fs``, so the store works unchanged on a
+    remote ``s3://``/``hdfs://`` base dir — the stated real deployment —
+    not just local paths (the round-3 shape read footers via local pathlib
+    only, which on a remote store silently recorded 0 rows per partition).
+    On real Iceberg the seam in sources/iceberg.py replaces this machinery.
+    """
 
     MANIFEST = "_MANIFEST"
 
     def __init__(self, spark: SparkSession, base_dir: str, n_parts: int = 16):
+        from pyarrow import fs as pafs
+
         self.spark = spark
-        self.base = Path(base_dir)
-        self.base.mkdir(parents=True, exist_ok=True)
+        self.base_uri = str(base_dir)
+        if "://" in self.base_uri:
+            # pyarrow speaks s3://, not Hadoop's s3a:// alias
+            self.fs, self.base_path = pafs.FileSystem.from_uri(
+                self.base_uri.replace("s3a://", "s3://", 1)
+            )
+            self.base = None  # no local Path view of a remote store
+        else:
+            self.fs = pafs.LocalFileSystem()
+            self.base = Path(base_dir)
+            # absolute path: pyarrow's LocalFileSystem and Spark resolve
+            # relative paths against different working directories
+            self.base_path = str(self.base.resolve())
+            self.base_uri = self.base_path
+        self.fs.create_dir(self.base_path, recursive=True)
         # an existing store's physical layout wins: n_parts decides which
         # partition a url hashes into, so opening with a different value
         # would silently corrupt the store (wrong pruning, stale duplicate
@@ -82,15 +105,36 @@ class SignatureStore:
         else:
             self.n_parts = n_parts
 
+    # -- fs helpers ----------------------------------------------------------
+    def _join(self, *rel: str) -> str:
+        return "/".join([self.base_path.rstrip("/"), *rel])
+
+    def _spark_uri(self, *rel: str) -> str:
+        """Path as Spark should see it (original scheme, e.g. s3a://)."""
+        return "/".join([self.base_uri.rstrip("/"), *rel])
+
+    def _read_json(self, path: str) -> dict | None:
+        from pyarrow import fs as pafs
+
+        if self.fs.get_file_info(path).type == pafs.FileType.NotFound:
+            return None
+        with self.fs.open_input_stream(path) as f:
+            return json.loads(f.read().decode())
+
+    def _write_json_atomic(self, path: str, doc: dict) -> None:
+        tmp = path + ".tmp"
+        with self.fs.open_output_stream(tmp) as f:
+            f.write(json.dumps(doc).encode())
+        # atomic on local/HDFS rename; copy+delete on S3 (readers there
+        # should use the Iceberg seam for true snapshot isolation)
+        self.fs.move(tmp, path)
+
     # -- manifest ------------------------------------------------------------
-    def _manifest_path(self) -> Path:
-        return self.base / self.MANIFEST
+    def _manifest_path(self) -> str:
+        return self._join(self.MANIFEST)
 
     def _read_manifest_file(self) -> dict | None:
-        p = self._manifest_path()
-        if not p.exists():
-            return None
-        return json.loads(p.read_text())
+        return self._read_json(self._manifest_path())
 
     def manifest(self) -> dict[str, str] | None:
         doc = self._read_manifest_file()
@@ -99,37 +143,52 @@ class SignatureStore:
     def part_rows(self) -> dict[str, int]:
         """Per-partition row counts, maintained from parquet footers at
         write time — ``row_count()`` is a driver-side dict sum, never a
-        Spark job over the store."""
+        Spark job over the store. A manifest written by an older store
+        version (no/incomplete ``rows``) is backfilled once from the live
+        partitions' footers, so ``delete_urls`` deltas never come from
+        incomplete counts."""
         doc = self._read_manifest_file()
-        return {} if doc is None else {k: int(v) for k, v in doc.get("rows", {}).items()}
+        if doc is None:
+            return {}
+        parts = doc.get("parts", {})
+        rows = {k: int(v) for k, v in doc.get("rows", {}).items()}
+        missing = [p for p in parts if p not in rows]
+        if missing:
+            for p in missing:
+                rows[p] = self._dir_footer_rows(self._join(parts[p]))
+            self._write_json_atomic(
+                self._manifest_path(),
+                {"parts": parts, "n_parts": self.n_parts, "rows": rows},
+            )
+        return rows
 
     def row_count(self) -> int:
         return sum(self.part_rows().values())
 
     def _write_manifest(self, parts: dict[str, str], rows: dict[str, int]) -> None:
-        tmp = self._manifest_path().with_suffix(".tmp")
-        tmp.write_text(
-            json.dumps({"parts": parts, "n_parts": self.n_parts, "rows": rows})
+        self._write_json_atomic(
+            self._manifest_path(),
+            {"parts": parts, "n_parts": self.n_parts, "rows": rows},
         )
-        tmp.replace(self._manifest_path())  # atomic snapshot flip
 
-    def part_path(self, part: int) -> Path | None:
+    def part_path(self, part: int) -> str | None:
         m = self.manifest()
         if m is None or str(part) not in m:
             return None
-        return self.base / m[str(part)]
+        return self._spark_uri(m[str(part)])
 
     # -- schema (stored once so empty partitions stay readable) ---------------
     def _schema(self) -> T.StructType | None:
-        p = self.base / "_SCHEMA.json"
-        if not p.exists():
-            return None
-        return T.StructType.fromJson(json.loads(p.read_text()))
+        doc = self._read_json(self._join("_SCHEMA.json"))
+        return None if doc is None else T.StructType.fromJson(doc)
 
     def _store_schema(self, df: DataFrame) -> None:
-        p = self.base / "_SCHEMA.json"
-        if not p.exists():
-            p.write_text(json.dumps(df.schema.jsonValue()))
+        from pyarrow import fs as pafs
+
+        p = self._join("_SCHEMA.json")
+        if self.fs.get_file_info(p).type == pafs.FileType.NotFound:
+            with self.fs.open_output_stream(p) as f:
+                f.write(json.dumps(df.schema.jsonValue()).encode())
 
     # -- read ----------------------------------------------------------------
     def read(self, parts: list[int] | None = None) -> DataFrame | None:
@@ -139,8 +198,14 @@ class SignatureStore:
         schema = self._schema()
         if m is None or schema is None:
             return None
+        rows = self.part_rows()
         wanted = [str(p) for p in parts] if parts is not None else sorted(m)
-        paths = [str(self.base / m[p]) for p in wanted if p in m]
+        # skip partitions known empty: their "directory" need not exist on
+        # an object store (no real directories), and Spark errors on a
+        # missing input path
+        paths = [
+            self._spark_uri(m[p]) for p in wanted if p in m and rows.get(p, -1) != 0
+        ]
         if not paths:
             return self.spark.createDataFrame([], schema)
         # explicit schema: partitions emptied by deletes have no files and
@@ -148,6 +213,23 @@ class SignatureStore:
         return self.spark.read.schema(schema).parquet(*paths)
 
     # -- write ---------------------------------------------------------------
+    def _dir_footer_rows(self, dir_path: str) -> int:
+        """Row count of one partition dir from its parquet footers —
+        driver-side metadata reads via ``pyarrow.fs``, zero Spark jobs,
+        local or remote (the round-3 pathlib version saw nothing on
+        hdfs:///s3a:// and silently recorded 0)."""
+        import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
+
+        sel = pafs.FileSelector(dir_path, allow_not_found=True)
+        total = 0
+        for info in self.fs.get_file_info(sel):
+            name = info.base_name
+            if info.is_file and name.startswith("part-") and name.endswith(".parquet"):
+                with self.fs.open_input_file(info.path) as f:
+                    total += pq.ParquetFile(f).metadata.num_rows
+        return total
+
     def _write_parts(
         self, df: DataFrame, parts: list[int]
     ) -> tuple[dict[str, str], dict[str, int]]:
@@ -157,29 +239,27 @@ class SignatureStore:
         One Spark job (partitionBy); the counts come from the freshly
         written parquet footers (driver-side metadata reads, no extra
         job — same technique as CheckpointManager._footer_partition_counts)."""
-        import pyarrow.parquet as pq
-
         gen = f"gen-{time.time_ns()}"
-        out = str(self.base / gen)
         self._store_schema(df)
         (
             df.withColumn("_part", _part_col(self.n_parts))
             .write.mode("overwrite")
             .partitionBy("_part")
-            .parquet(out)
+            .parquet(self._spark_uri(gen))
         )
         entries: dict[str, str] = {}
         rows: dict[str, int] = {}
         for p in parts:
-            sub = Path(out) / f"_part={p}"
-            if not sub.exists():
+            rel = f"{gen}/_part={p}"
+            n = self._dir_footer_rows(self._join(rel))
+            if n == 0:
                 # a partition can legitimately become empty (all urls
-                # deleted); point it at an empty dir so read() skips it
-                sub.mkdir(parents=True, exist_ok=True)
-            entries[str(p)] = f"{gen}/_part={p}"
-            rows[str(p)] = sum(
-                pq.ParquetFile(f).metadata.num_rows for f in sub.glob("part-*")
-            )
+                # deleted); keep the manifest entry (read() skips rows==0)
+                # and materialize the dir where the fs has real dirs so a
+                # plain listing matches the manifest
+                self.fs.create_dir(self._join(rel), recursive=True)
+            entries[str(p)] = rel
+            rows[str(p)] = n
         return entries, rows
 
     def swap_in(self, df: DataFrame) -> None:
@@ -241,21 +321,37 @@ class SignatureStore:
         manifest (superseded by partition-targeted rewrites or truncation),
         then any generation directory left with no partitions. Partition
         granularity matters: a generation stays partially live after a
-        targeted delete rewrites just one of its partitions. Safe against
+        targeted delete rewrites just one of its partitions. Spark's
+        ``_SUCCESS`` / ``.crc`` markers at the generation root don't count
+        as live content — a generation with no ``_part=*`` subdirs left is
+        dead even though the markers make it non-empty. Safe against
         concurrent readers only after their snapshot read finishes — same
         contract as Iceberg's expire_snapshots. Returns the number of
         partition dirs removed."""
-        import shutil
+        from pyarrow import fs as pafs
 
         live = set((self.manifest() or {}).values())
         removed = 0
-        for gen_dir in self.base.glob("gen-*"):
-            for part_dir in gen_dir.glob("_part=*"):
-                if f"{gen_dir.name}/{part_dir.name}" not in live:
-                    shutil.rmtree(part_dir)
+        root = self.fs.get_file_info(
+            pafs.FileSelector(self.base_path, allow_not_found=True)
+        )
+        for gen in root:
+            if not gen.base_name.startswith("gen-"):
+                continue
+            entries = self.fs.get_file_info(
+                pafs.FileSelector(gen.path, allow_not_found=True)
+            )
+            parts_left = 0
+            for e in entries:
+                if not e.base_name.startswith("_part="):
+                    continue  # _SUCCESS, .*.crc and friends are markers
+                if f"{gen.base_name}/{e.base_name}" not in live:
+                    self.fs.delete_dir(e.path)
                     removed += 1
-            if not any(gen_dir.iterdir()):
-                shutil.rmtree(gen_dir)
+                else:
+                    parts_left += 1
+            if parts_left == 0:
+                self.fs.delete_dir(gen.path)
         return removed
 
 
