@@ -546,6 +546,35 @@ def q_substring_pair_spans(spark, sf_dir):
     )
 
 
+def q_suffix_array_pair_spans(spark, sf_dir):
+    # the generalized-suffix-array substring pass (operators/
+    # suffix_array.py — the north rule's named third method beside
+    # MinHash/SimHash), hash-matched on VALUES: within each doc family
+    # (group = doc_id % 1e6, putting a seed doc and its two planted twins
+    # together) the only >=500-char verbatim overlap is the twins' shared
+    # span, and the pass recovers the EXACT longest-common-substring
+    # length — the same span+joining-space value the independent SQL
+    # recipe reconstructs (cf. substring_pair_spans, which verifies the
+    # CDC path on the same planted class).
+    from video_duplicate_finder_python_spark.operators.suffix_array import (
+        suffix_array_pairs,
+    )
+
+    cfg = DedupConfig()
+    d = _derived_docs(spark, sf_dir, "substring").select(
+        F.concat(F.lit("https://docs.example/"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        "text",
+        (F.col("doc_id") % 1_000_000).alias("family"),
+    )
+    return (
+        suffix_array_pairs(d, F.col("family"), min_len=cfg.substring_min_len)
+        .select("url_a", "url_b", F.col("lcs_len").cast("bigint").alias("lcs_len"))
+        .orderBy("url_a", "url_b")
+    )
+
+
 def q_embedding_dup_clusters(spark, sf_dir):
     # embedding-cosine near-dup clustering (training-pipeline brief):
     # connected components over the exact quantized-dot >= threshold edge
@@ -782,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_pairs_expanded": q_exact_pairs_expanded,
         "substring_dup_clusters": q_substring_dup_clusters,
         "substring_pair_spans": q_substring_pair_spans,
+        "suffix_array_pair_spans": q_suffix_array_pair_spans,
         "embedding_dup_clusters": q_embedding_dup_clusters,
         "media_sizes": q_media_sizes,
         "jaccard_clusters": q_jaccard_clusters,
@@ -944,6 +974,15 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY url"
         ),
         "substring_pair_spans": (
+            "SELECT 'https://docs.example/' || CAST(doc_id + 2000000 AS VARCHAR) AS url_a, "
+            "'https://docs.example/' || CAST(doc_id + 3000000 AS VARCHAR) AS url_b, "
+            "length(array_to_string(list_transform(generate_series(1, 150), "
+            "j -> 'w' || CAST(doc_id AS VARCHAR) || 'x' || CAST(j AS VARCHAR)), ' ')) + 1 AS lcs_len "
+            "FROM documents WHERE doc_id % 50 = 0 ORDER BY url_a, url_b"
+        ),
+        # same planted-span recipe: the suffix-array pass must recover the
+        # identical exact spans the CDC path's verifier does
+        "suffix_array_pair_spans": (
             "SELECT 'https://docs.example/' || CAST(doc_id + 2000000 AS VARCHAR) AS url_a, "
             "'https://docs.example/' || CAST(doc_id + 3000000 AS VARCHAR) AS url_b, "
             "length(array_to_string(list_transform(generate_series(1, 150), "

@@ -49,3 +49,41 @@ def test_long_path_converges(spark):
     got = dict(_cc(spark, edges))
     assert set(got.values()) == {"n00"}
     assert len(got) == n + 1
+
+
+def test_distributed_rounds_match_local_finish(spark):
+    """Two-phase CC: the distributed star loop (forced via
+    local_finish_edges=0) and the driver union-find finish must produce
+    the identical clustering on a graph mixing chains, stars, merges and
+    singleton-free structure."""
+    import random
+
+    rng = random.Random(3)
+    edges = []
+    for c in range(200):  # small components
+        base = f"https://s/{c:04d}"
+        for m in range(1, rng.choice([2, 2, 3])):
+            edges.append((f"{base}/m{m}", base))
+    for c in range(5):  # deep chains (many star rounds to converge)
+        urls = [f"https://chain/{c}/{i:03d}" for i in range(30)]
+        edges += list(zip(urls[1:], urls[:-1]))
+    df = spark.createDataFrame(edges, ["u", "v"])
+
+    dist = {
+        (r["url"], r["cluster_id"])
+        for r in connected_components(df, local_finish_edges=0).collect()
+    }
+    local = {
+        (r["url"], r["cluster_id"])
+        for r in connected_components(df, local_finish_edges=10**9).collect()
+    }
+    assert dist == local
+    # chains resolve to their min url
+    assert ("https://chain/0/029", "https://chain/0/000") in dist
+
+
+def test_session_confs_restored_after_distributed_rounds(spark):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], ["u", "v"])
+    connected_components(df, local_finish_edges=0).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

@@ -7,10 +7,21 @@ MapReduce and Beyond" (SoCC'14) — pure DataFrame joins/aggregations, no
 GraphFrames, converging in O(log n) rounds. ``localCheckpoint`` truncates
 lineage each round so the plan doesn't grow across iterations.
 
+Two-phase finish (also from the SoCC'14 playbook): star rounds contract the
+edge set geometrically, so the tail rounds operate on a graph thousands of
+times smaller than the input while still paying full distributed-round
+latency (driver sync + a stage wave per shuffle). Once the current edge
+count drops under ``local_finish_edges``, the remaining edges are collected
+and finished with a driver-side union-find — the reference's own algorithm,
+now applied where it is the right tool (a graph that fits in one process).
+The distributed rounds stay the >threshold scale path and are exercised
+directly in tests via ``local_finish_edges=0``.
+
 Node ids are the url strings themselves and the final cluster id is the
 lexicographic min url of the component — the deterministic analog of the
 reference's first-seen integer group id, and the exact semantics the oracle
-(oracle.py) asserts.
+(oracle.py) asserts. The result is independent of partitioning and
+parallelism (asserted across levels by scripts/scaling_bench.py).
 """
 
 from __future__ import annotations
@@ -20,6 +31,10 @@ from pyspark.sql import functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
+    # the trailing distinct is load-bearing for throughput: without it the
+    # join multiplicities on chain-shaped components balloon the rows
+    # flowing into the next star (A/B on a 72k-edge set: 25.5s with vs
+    # 34.9s without at local[1])
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
     return (
@@ -37,24 +52,72 @@ def _small_star(edges: DataFrame) -> DataFrame:
     mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
     joined = oriented.join(mins, "u")
     nbr_to_min = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
-    self_to_min = joined.select("u", F.col("m").alias("v")).distinct()
+    self_to_min = joined.select("u", F.col("m").alias("v"))
     return nbr_to_min.union(self_to_min).where(F.col("u") != F.col("v")).distinct()
 
 
-def _edge_digest(edges: DataFrame) -> tuple[int, int]:
-    row = edges.select(
+def _digest_agg(edges: DataFrame, tag: str) -> DataFrame:
+    return edges.select(
+        F.lit(tag).alias("t"),
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
-    ).first()
+    )
+
+
+def _edge_digest(edges: DataFrame) -> tuple[int, int]:
+    row = _digest_agg(edges, "e").first()
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+def _edge_digests(tagged: list[tuple[str, DataFrame]]) -> dict[str, tuple[int, int]]:
+    """Digests of several edge sets in ONE driver-blocking action (union of
+    the 1-row aggregates) — materializing every input's lazy checkpoint in
+    the same job."""
+    u = _digest_agg(tagged[0][1], tagged[0][0])
+    for tag, df in tagged[1:]:
+        u = u.unionByName(_digest_agg(df, tag))
+    return {r["t"]: (int(r["n"]), int(r["h"])) for r in u.collect()}
+
+
+def _local_finish(e: DataFrame) -> DataFrame:
+    """Union-find over a collected (small) edge set → ``(url, cluster_id)``
+    star rows, cluster_id = min url of the component. Path-halving find;
+    O(E α(E)) — sub-second for the ≤ local_finish_edges sets this sees."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            parent[root] = parent[parent[root]]
+            root = parent[root]
+        return root
+
+    for row in e.select("u", "v").collect():
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min: the smaller url becomes the root, so the root
+            # IS the cluster id — no second pass to compute mins
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    rows = [(node, find(node)) for node in parent]
+    return e.sparkSession.createDataFrame(rows, "url string, cluster_id string")
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 30, local_finish_edges: int = 500_000
+) -> DataFrame:
     """``edges(u, v)`` (undirected, any orientation) → ``clusters(url, cluster_id)``.
 
     Only nodes that appear in at least one edge are emitted (singletons have
     no row, matching the reference: files in no duplicate pair join no
-    group).
+    group). ``local_finish_edges=0`` forces the pure distributed loop.
     """
     # lazy localCheckpoint: the digest action right after materializes the
     # round's edges AND truncates lineage in the same job — eager=True
@@ -67,23 +130,57 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     digest = _edge_digest(e)
+    if digest[0] <= local_finish_edges:
+        return _local_finish(e)
+
+    # size the rounds' shuffles to the EDGE count, not the session default:
+    # the dup-edge set is orders of magnitude smaller than the corpus the
+    # session's shuffle_partitions was sized for, and each round issues
+    # ~6 shuffles — at the default width that is hundreds of near-empty
+    # tasks per round whose fixed scheduling cost dominates the stage
+    # (measured 57.9s → 26.2s on a 72k-edge set at local[1]). Large edge
+    # sets keep the session value (min with the old width).
+    spark = edges.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    n_parts = max(1, min(int(old_parts), digest[0] // 250_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        return _cc_rounds(e, digest, max_iter, local_finish_edges)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _cc_rounds(
+    e: DataFrame, digest: tuple[int, int], max_iter: int, local_finish_edges: int
+) -> DataFrame:
     converged = False
     for _ in range(max_iter):
-        # two large-star/small-star rounds per driver-blocking digest
-        # action: each round's lazy localCheckpoint still materializes
-        # (and truncates lineage) inside the digest job, but the driver
-        # only synchronizes every OTHER round — halving the serial
-        # per-round scheduling latency that dominates at high thread
-        # counts (and, on a real cluster, per-round driver sync on the
-        # critical path). Cost: at most one redundant round after the
-        # fixpoint, which on fixpoint stars is a cheap no-op transform.
+        # two large-star/small-star rounds per driver-blocking action:
+        # both rounds' lazy localCheckpoints materialize inside ONE digest
+        # job (union of the two 1-row aggregates), so the driver only
+        # synchronizes every other round — halving the serial per-round
+        # scheduling latency that dominates at high thread counts (and, on
+        # a real cluster, per-round driver sync on the critical path).
+        # Digesting BOTH rounds keeps the fixpoint overshoot at ≤1 round,
+        # identical to the one-digest-per-round scheme (a 2-round block
+        # that only checked its last round would overshoot by up to 3).
         mid = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        e = _small_star(_large_star(mid)).localCheckpoint(eager=False)
-        next_digest = _edge_digest(e)
-        if next_digest == digest:
+        nxt = _small_star(_large_star(mid)).localCheckpoint(eager=False)
+        ds = _edge_digests([("mid", mid), ("nxt", nxt)])
+        if ds["mid"] == digest:
+            e = mid
             converged = True
             break
-        digest = next_digest
+        if ds["nxt"] == ds["mid"]:
+            e = nxt
+            converged = True
+            break
+        e = nxt
+        digest = ds["nxt"]
+        if digest[0] <= local_finish_edges:
+            # star rounds contracted the graph under the threshold:
+            # finish in-driver instead of paying more distributed rounds
+            return _local_finish(e)
     if not converged:
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 

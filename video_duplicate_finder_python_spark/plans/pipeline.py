@@ -147,15 +147,19 @@ class DedupPipeline:
         # checkpoint: both downstream consumers (exact_representatives and
         # exact_edges_from) reuse it instead of each re-hashing the full
         # text column — one avoided full-corpus md5 pass.
+        # MUST stay two-step (select text, then withColumn over the column
+        # reference): writing md5(extract(html)) inline duplicates the
+        # whole extraction chain in one collapsed projection — measured 2×
+        # the docs-stage wall. In the two-step shape Catalyst declines to
+        # collapse the projections (it would duplicate a non-cheap
+        # expression), so the regex chain runs once per row.
         from ..operators.exact import content_hash_col
 
-        text = extract_text_col(F.col("html"))
         return pages.select(
             "url",
             "lang",
-            text.alias("text"),
-            content_hash_col(text).alias("content_hash"),
-        )
+            extract_text_col(F.col("html")).alias("text"),
+        ).withColumn("content_hash", content_hash_col(F.col("text")))
 
     def _signatures(self, rep_docs: DataFrame) -> DataFrame:
         # compute-bound stage: spread rows evenly over all cores regardless
