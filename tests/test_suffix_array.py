@@ -13,7 +13,10 @@ from video_duplicate_finder_python_spark.functions.lcs import (
     longest_common_substring_len,
 )
 from video_duplicate_finder_python_spark.operators.suffix_array import (
+    _build,
+    _snap_max,
     build_suffix_array,
+    lcp_adjacent_capped,
     lcp_kasai,
     suffix_array_pairs,
 )
@@ -42,6 +45,57 @@ def test_suffix_array_and_lcp_match_naive():
         sa = build_suffix_array(codes)
         assert sa.tolist() == _naive_sa(s)
         assert lcp_kasai(codes, sa).tolist() == _naive_lcp(s, sa.tolist())
+
+
+def test_capped_lcp_matches_kasai_oracle():
+    """The vectorized snapshot-greedy LCP must equal min(Kasai, cap) on
+    random strings, repeat-heavy strings, and sentinel-terminated
+    concatenations, across cap values that exercise every branch (no
+    snapshots, one snapshot, multiple levels, cap beyond max LCP)."""
+    rng = random.Random(19)
+    fixtures = [
+        bytes(rng.randrange(97, 99) for _ in range(400)),       # binary alpha, long LCPs
+        bytes(rng.randrange(97, 123) for _ in range(300)),      # wide alpha
+        b"ab" * 150,                                            # periodic
+        b"a" * 200,                                             # degenerate single-char
+        bytes(rng.randrange(97, 100) for _ in range(5)),        # tiny
+    ]
+    # a sentinel-terminated concatenation like _group_pairs builds
+    span = bytes(rng.randrange(97, 102) for _ in range(120))
+    docs = [span + b"tailA", b"pre" + span, span]
+    arr = []
+    for i, d in enumerate(docs):
+        arr.append(np.frombuffer(d, dtype=np.uint8).astype(np.int32))
+        arr.append(np.array([256 + i], dtype=np.int32))
+    fixtures.append(np.concatenate(arr))
+
+    for fx in fixtures:
+        codes = (
+            np.frombuffer(fx, dtype=np.uint8).astype(np.int32)
+            if isinstance(fx, bytes)
+            else fx
+        )
+        for cap in (1, 7, 16, 17, 40, 64, 500):
+            sa, snaps = _build(codes, snap_max=_snap_max(cap))
+            got = lcp_adjacent_capped(codes, sa, snaps, cap=cap)
+            want = np.minimum(lcp_kasai(codes, sa), cap)
+            assert got.tolist() == want.tolist(), (len(codes), cap)
+
+
+def test_int32_dtypes_throughout():
+    """Round-4 verdict #2: the per-group arrays must be int32, not int64 —
+    the dtype IS the memory bound (8 B/char would OOM a real executor)."""
+    rng = random.Random(23)
+    codes = np.frombuffer(
+        bytes(rng.randrange(97, 101) for _ in range(2000)), dtype=np.uint8
+    ).astype(np.int32)
+    sa, snaps = _build(codes, snap_max=_snap_max(500))
+    assert sa.dtype == np.int32
+    assert snaps, "snapshot history must exist for cap=500"
+    assert all(r.dtype == np.int32 for _, r in snaps)
+    lcp = lcp_adjacent_capped(codes, sa, snaps, cap=500)
+    assert lcp.dtype == np.int32
+    assert build_suffix_array(codes).dtype == np.int32
 
 
 def _brute_pairs(docs: list[tuple[str, str, int]], min_len: int):
@@ -118,3 +172,47 @@ def test_group_cap_is_deterministic(spark):
     urls = {u for r in got for u in (r["url_a"], r["url_b"])}
     # cap keeps the first max_docs_per_group urls in url order
     assert urls == {"u00", "u01", "u02"}
+
+
+def test_char_cap_keeps_url_ordered_prefix(spark):
+    """ADVICE r4 #1 / verdict #2: groups are also capped by total
+    CHARACTERS, before the group shuffle, keeping the url-ordered prefix
+    whose cumulative length fits the budget."""
+    shared = "p q " * 40  # 160 chars, >= min_len=40
+    docs = [(f"u{i:02d}", f"{shared} t{i}", 0) for i in range(8)]
+    df = spark.createDataFrame(docs, ["url", "text", "grp"])
+    # each doc ~167 chars; budget 520 fits u00..u02 (~501) but not u03
+    got = suffix_array_pairs(
+        df.repartition(4), F.col("grp"), min_len=40, max_chars_per_group=520
+    ).collect()
+    urls = {u for r in got for u in (r["url_a"], r["url_b"])}
+    assert urls == {"u00", "u01", "u02"}
+
+
+def test_candidate_adapter_counts_drops(spark):
+    """suffix_array_candidates: (pairs, dropped, cached) source contract —
+    pairs carry the exact-LCS hint, and capped members are counted, never
+    silent."""
+    from video_duplicate_finder_python_spark.config import DedupConfig
+    from video_duplicate_finder_python_spark.operators.suffix_array import (
+        suffix_array_candidates,
+    )
+
+    shared = "word " * 120  # 600 chars >= substring_min_len=500
+    docs = [(f"https://h/{i:02d}", f"{shared} tail{i}", "h") for i in range(5)]
+    df = spark.createDataFrame(docs, ["url", "text", "host"])
+    cfg = DedupConfig(
+        candidate_sources=("minhash", "simhash", "suffix_array"),
+        suffix_group_expr="host",
+        suffix_max_docs_per_group=3,
+    )
+    pairs, dropped, cached = suffix_array_candidates(df, cfg)
+    assert cached is None
+    got = {(r["url_a"], r["url_b"]): r["lcs_hint"] for r in pairs.collect()}
+    assert set(got) == {
+        ("https://h/00", "https://h/01"),
+        ("https://h/00", "https://h/02"),
+        ("https://h/01", "https://h/02"),
+    }
+    assert all(v >= 500 for v in got.values())
+    assert dropped.collect()[0]["dropped_bucket_members"] == 2
