@@ -118,14 +118,17 @@ def _derived_docs(spark: SparkSession, sf_dir: str, variant: str) -> DataFrame:
 _PIPE_CACHE: dict = {}
 
 
-def _run_pipeline(spark: SparkSession, sf_dir: str, variant: str = "base"):
+def _run_pipeline(
+    spark: SparkSession, sf_dir: str, variant: str = "base", cfg: DedupConfig | None = None
+):
     """Full DedupPipeline over a (possibly derived) corpus, memoized per
     Spark application so the several driver queries sharing one pipeline
     run (clusters / lsh pairs / expanded pairs) pay for it once."""
-    key = (spark.sparkContext.applicationId, sf_dir, variant)
+    cfg = cfg or DedupConfig()
+    key = (spark.sparkContext.applicationId, sf_dir, variant, cfg.config_hash())
     if key not in _PIPE_CACHE:
         pages = docs_to_pages(_derived_docs(spark, sf_dir, variant))
-        _PIPE_CACHE[key] = DedupPipeline(spark, DedupConfig()).run(pages)
+        _PIPE_CACHE[key] = DedupPipeline(spark, cfg).run(pages)
     return _PIPE_CACHE[key]
 
 
@@ -575,6 +578,28 @@ def q_suffix_array_pair_spans(spark, sf_dir):
     )
 
 
+def q_dedup_clusters_with_suffix(spark, sf_dir):
+    # SURVEY §7 step 8 discharged END-TO-END (round-4 verdict #1): the
+    # full pipeline with the generalized suffix-array pass wired in as a
+    # candidate source REPLACING the CDC-fingerprint source
+    # (candidate_sources swaps "suffix" for "suffix_array"), grouped by
+    # doc family (doc_id % 1e6 puts each seed doc with its two planted
+    # twins). The planted substring-only twins (Jaccard ≈ 0.42) can now
+    # ONLY be clustered via suffix_array_pairs → verify (exact-LCS hint)
+    # → connected components — so a green row proves the operator drives
+    # the whole DAG, not just its standalone query. Oracle: identical to
+    # substring_dup_clusters (the expected clusters are the same; only
+    # the candidate path differs).
+    cfg = DedupConfig(
+        candidate_sources=("minhash", "simhash", "suffix_array"),
+        suffix_group_expr=(
+            "pmod(cast(regexp_extract(url, '([0-9]+)$', 1) as bigint), 1000000)"
+        ),
+    )
+    res = _run_pipeline(spark, sf_dir, "substring", cfg)
+    return res.clusters.orderBy("url")
+
+
 def q_embedding_dup_clusters(spark, sf_dir):
     # embedding-cosine near-dup clustering (training-pipeline brief):
     # connected components over the exact quantized-dot >= threshold edge
@@ -812,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_clusters": q_substring_dup_clusters,
         "substring_pair_spans": q_substring_pair_spans,
         "suffix_array_pair_spans": q_suffix_array_pair_spans,
+        "dedup_clusters_with_suffix": q_dedup_clusters_with_suffix,
         "embedding_dup_clusters": q_embedding_dup_clusters,
         "media_sizes": q_media_sizes,
         "jaccard_clusters": q_jaccard_clusters,
@@ -962,6 +988,21 @@ def oracle_sql() -> dict[str, str]:
             # only relation is the shared >=500-char span, so their
             # 2-cluster (id = the lexicographically smaller 2000000 url)
             # is constructible without recursion
+            _closure_sql("SELECT doc_id, text FROM documents")
+            + " UNION ALL "
+            "SELECT 'https://docs.example/' || CAST(doc_id + 2000000 AS VARCHAR), "
+            "'https://docs.example/' || CAST(doc_id + 2000000 AS VARCHAR) "
+            "FROM documents WHERE doc_id % 50 = 0 "
+            "UNION ALL "
+            "SELECT 'https://docs.example/' || CAST(doc_id + 3000000 AS VARCHAR), "
+            "'https://docs.example/' || CAST(doc_id + 2000000 AS VARCHAR) "
+            "FROM documents WHERE doc_id % 50 = 0 "
+            "ORDER BY url"
+        ),
+        # identical expected clustering to substring_dup_clusters — the
+        # suffix-array candidate path must reach the same fixpoint the
+        # CDC path does (same planted twins, same closure)
+        "dedup_clusters_with_suffix": (
             _closure_sql("SELECT doc_id, text FROM documents")
             + " UNION ALL "
             "SELECT 'https://docs.example/' || CAST(doc_id + 2000000 AS VARCHAR), "

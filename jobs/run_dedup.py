@@ -43,6 +43,15 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--substring-min-len", type=int, default=500)
     p.add_argument("--max-bucket-size", type=int, default=256)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument(
+        "--suffix-array-group",
+        default=None,
+        metavar="SQL_EXPR",
+        help="enable the per-group generalized suffix-array candidate "
+        "source, grouped by this SQL expression (e.g. "
+        "\"parse_url(url, 'HOST')\"); adds it to the default "
+        "minhash+simhash+CDC sources",
+    )
     return p.parse_args(argv)
 
 
@@ -57,6 +66,12 @@ def main(argv: list[str] | None = None) -> None:
     spark = SparkSession.builder.appName("vdf-dedup").getOrCreate()
     spark.sparkContext.setJobGroup("vdf-dedup", "near-duplicate detection", True)
 
+    extra = {}
+    if args.suffix_array_group:
+        extra = {
+            "candidate_sources": ("minhash", "simhash", "suffix", "suffix_array"),
+            "suffix_group_expr": args.suffix_array_group,
+        }
     cfg = DedupConfig(
         jaccard_threshold=args.jaccard_threshold,
         bands=args.bands,
@@ -65,6 +80,7 @@ def main(argv: list[str] | None = None) -> None:
         substring_min_len=args.substring_min_len,
         max_bucket_size=args.max_bucket_size,
         seed=args.seed,
+        **extra,
     )
     langs = args.langs.split(",") if args.langs else None
     pages = read_pages(spark, args.input, langs=langs)

@@ -115,6 +115,40 @@ def test_pairs_url_level_method_matches_expand(pipeline_result):
     assert n_all > n_cross, "corpus plants exact groups; within pairs must appear"
 
 
+def test_suffix_array_source_drives_pipeline(spark, corpus, oracle_result):
+    """Round-4 verdict #1: the suffix-array pass wired into the DAG as a
+    candidate source. CDC is swapped OUT, so clustering the corpus's
+    substring-only duplicates is reachable solely via suffix_array_pairs →
+    verify (exact-LCS hint) → connected components; the resulting clusters
+    must still match the single-node oracle exactly."""
+    from video_duplicate_finder_python_spark import DedupConfig, DedupPipeline
+    from video_duplicate_finder_python_spark.corpus import pages_spark_df
+
+    cfg = DedupConfig(
+        candidate_sources=("minhash", "simhash", "suffix_array"),
+        suffix_group_expr="'corpus'",  # 240 docs: one group = full recall
+    )
+    res = DedupPipeline(spark, cfg).run(pages_spark_df(spark, corpus))
+    engine = _cluster_map(res.clusters)
+    oracle = dict(
+        zip(oracle_result.clusters["url"], oracle_result.clusters["cluster_id"])
+    )
+    assert engine == oracle
+    # the substring class was reachable ONLY through the suffix-array path:
+    # below-threshold is_dup pairs must exist, carry the suffix_array tag,
+    # and their lcs_len is the operator's exact hint (never null)
+    subs = res.pairs.where(
+        "is_dup AND jaccard < 0.8 AND array_contains(sources, 'suffix_array')"
+    ).collect()
+    assert subs, "substring-only duplicates must flow through the new source"
+    assert all(r["lcs_len"] is not None and r["lcs_len"] >= 500 for r in subs)
+    assert set(res.metrics["candidates"]["counters"]) == {
+        "lsh_dropped_members",
+        "simhash_dropped_members",
+        "suffix_array_dropped_members",
+    }
+
+
 def test_stage_metrics_emitted(pipeline_result):
     m = pipeline_result.metrics
     for stage in ["docs", "rep_docs", "exact_edges", "signatures", "candidates", "pairs", "clusters"]:

@@ -40,6 +40,18 @@ class DedupConfig:
     cdc_mask_bits: int = 6          # anchor if low bits == 0 → E[chunk] = 64
     cdc_min_chunk: int = 24         # drop chunks shorter than this
 
+    # --- candidate-source selection (pipeline DAG) ---
+    # "suffix" is the corpus-wide CDC-fingerprint substring source (tag kept
+    # from the original DAG); "suffix_array" is the per-group generalized
+    # suffix-array pass (operators/suffix_array.py) — opt-in because its
+    # recall is scoped to the group key, and enabling it unions a 4th pair
+    # source into the same verify → CC tail (SURVEY §7 step 8)
+    candidate_sources: tuple = ("minhash", "simhash", "suffix")
+    suffix_group_expr: str = "parse_url(url, 'HOST')"  # SQL expr, group key
+    suffix_max_docs_per_group: int = 4096   # pre-shuffle doc cap (counted)
+    suffix_max_chars_per_group: int = 8_000_000  # pre-shuffle char cap
+                                    # (~35 B/char task peak; see operator doc)
+
     # --- skew handling (SURVEY §4: reference has none) ---
     max_bucket_size: int = 256      # LSH buckets larger than this are capped
                                     # (exact dups are collapsed upstream, so
@@ -52,9 +64,14 @@ class DedupConfig:
     # --- parallelism hints ---
     shuffle_partitions: int = 32
 
+    KNOWN_SOURCES = ("minhash", "simhash", "suffix", "suffix_array")
+
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perm:
             raise ValueError("bands * rows_per_band must equal num_perm")
+        unknown = set(self.candidate_sources) - set(self.KNOWN_SOURCES)
+        if unknown:
+            raise ValueError(f"unknown candidate sources: {sorted(unknown)}")
 
     def config_hash(self) -> str:
         """Stable fingerprint used to invalidate stage checkpoints."""

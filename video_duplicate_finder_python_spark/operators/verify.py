@@ -58,17 +58,29 @@ def verify_candidates(
 ) -> DataFrame:
     """Score every candidate pair; flag duplicates.
 
-    ``candidates(url_a, url_b, sources: array<string>)``
+    ``candidates(url_a, url_b, sources: array<string>[, lcs_hint: int])``
+    — ``lcs_hint``, when present and non-null, is an exact LCS length a
+    candidate source already proved (the suffix-array pass emits only
+    pairs whose shared span it has walked), so those pairs skip the
+    anchored-span recomputation entirely: the hint IS their ``lcs_len``.
     ``cand_profiles(url, shingles, simhash)`` — profiles for (at least)
     every url appearing in a candidate pair; shingles are recomputed for
     just the candidate url set upstream (candidates are a tiny fraction of
     the corpus, so that is far cheaper than persisting full shingle arrays
     through the signature checkpoint).
     ``texts(url, text)`` — consulted ONLY for substring-source pairs below
-    the Jaccard threshold (the anchored-span check); pass None to skip the
-    substring confirmation entirely (lcs_len stays null).
+    the Jaccard threshold with no hint (the anchored-span check); pass
+    None to skip the substring confirmation entirely (lcs_len stays null).
     → ``pairs(url_a, url_b, jaccard, hamming, lcs_len, sources, is_dup)``
     """
+    hint_col = (
+        F.col("lcs_hint").cast("int")
+        if "lcs_hint" in candidates.columns
+        else F.lit(None).cast("int")
+    )
+    candidates = candidates.select(
+        "url_a", "url_b", "sources", hint_col.alias("_lcs_hint")
+    )
     sig_a = cand_profiles.select(
         F.col("url").alias("url_a"),
         F.col("shingles").alias("_sh_a"),
@@ -93,14 +105,19 @@ def verify_candidates(
         .withColumn(
             "hamming", F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
         )
-        .select("url_a", "url_b", "sources", "jaccard", "hamming")
+        .select("url_a", "url_b", "sources", "_lcs_hint", "jaccard", "hamming")
         .persist(StorageLevel.MEMORY_AND_DISK)  # scalars only; branched below
     )
 
-    needs_lcs = (F.col("jaccard") < cfg.jaccard_threshold) & F.array_contains(
-        "sources", "suffix"
+    needs_lcs = (
+        (F.col("jaccard") < cfg.jaccard_threshold)
+        & (
+            F.array_contains("sources", "suffix")
+            | F.array_contains("sources", "suffix_array")
+        )
+        & F.col("_lcs_hint").isNull()
     )
-    fast = scored.where(~needs_lcs).withColumn("lcs_len", F.lit(None).cast("int"))
+    fast = scored.where(~needs_lcs).withColumn("lcs_len", F.col("_lcs_hint"))
     if texts is None:
         slow = scored.where(needs_lcs).withColumn(
             "lcs_len", F.lit(None).cast("int")

@@ -6,9 +6,10 @@ DAG of checkpointed table→table stages.
 Stage graph (each node an idempotent checkpoint, see sources/checkpoint.py):
 
     pages ─ extract ─→ docs ─ exact ─→ rep_docs ──→ signatures
-                                 │                        │
-                                 │              ┌─────────┼──────────┐
-                                 │         minhash-LSH  simhash   CDC-substr
+                                 │        │               │
+                                 │        │     ┌─────────┼──────────┐
+                                 │        │ minhash-LSH  simhash  CDC-substr
+                                 │        └── suffix-array (opt-in)  │
                                  │              └─────────┼──────────┘
                                  │                   candidates
                                  │                        │
@@ -17,6 +18,13 @@ Stage graph (each node an idempotent checkpoint, see sources/checkpoint.py):
                                             └──── CC ←── edges
                                                    │
                                                clusters(url, cluster_id)
+
+``cfg.candidate_sources`` selects the pair sources (default: minhash +
+simhash + CDC-substring). The per-group generalized suffix-array pass
+(operators/suffix_array.py, SURVEY §7 step 8) is the opt-in 4th source:
+it reads rep_docs directly (it needs text, not signatures), groups by
+``cfg.suffix_group_expr``, and its pairs carry an exact-LCS hint that
+verify trusts without re-deriving the span.
 """
 
 from __future__ import annotations
@@ -36,6 +44,7 @@ from ..operators.exact import exact_edges_from, exact_representatives
 from ..operators.lsh import minhash_band_candidates
 from ..operators.simhash_candidates import simhash_candidates
 from ..operators.substring import substring_candidates
+from ..operators.suffix_array import suffix_array_candidates
 from ..operators.verify import verify_candidates
 from ..sources.checkpoint import CheckpointManager
 
@@ -193,14 +202,25 @@ class DedupPipeline:
             .join(signatures.select("url", "simhash"), "url")
         )
 
+    # candidate-source registry: tag → (drop-counter label, builder).
+    # "suffix" is the corpus-wide CDC-fingerprint source; "suffix_array"
+    # the opt-in per-group generalized suffix array (reads rep_docs, not
+    # signatures — it needs the text itself).
+    _DROP_LABEL = {
+        "minhash": "lsh",
+        "simhash": "simhash",
+        "suffix": "substring",
+        "suffix_array": "suffix_array",
+    }
+
     def _candidates(
-        self, signatures: DataFrame
+        self, signatures: DataFrame, rep_docs: DataFrame
     ) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
         """→ (candidates, drops_df, cached_handles).
 
         Each source's windowed bucket table is persisted so the skew-drop
         counters come from ONE extra job over cached partitions instead of
-        three jobs that each re-ran the band-explode + window shuffle (the
+        N jobs that each re-ran the band-explode + window shuffle (the
         round-1 shape executed the most expensive lineage up to 4×)."""
         cfg = self.cfg
         # per-source dedup=True is deliberate: a near-dup pair collides in
@@ -208,24 +228,39 @@ class DedupPipeline:
         # inside each source shrinks the union-groupBy shuffle by that
         # multiplicity — measured cheaper than funneling the raw collision
         # rows into the final groupBy on duplicate-heavy web corpora
-        mh, mh_drop, c1 = minhash_band_candidates(signatures, cfg, persist=True)
-        sh, sh_drop, c2 = simhash_candidates(signatures, cfg, persist=True)
-        ss, ss_drop, c3 = substring_candidates(signatures, cfg, persist=True)
-        unioned = (
-            mh.select("url_a", "url_b", F.lit("minhash").alias("source"))
-            .unionByName(sh.select("url_a", "url_b", F.lit("simhash").alias("source")))
-            .unionByName(ss.select("url_a", "url_b", F.lit("suffix").alias("source")))
-        )
+        builders = {
+            "minhash": lambda: minhash_band_candidates(signatures, cfg, persist=True),
+            "simhash": lambda: simhash_candidates(signatures, cfg, persist=True),
+            "suffix": lambda: substring_candidates(signatures, cfg, persist=True),
+            "suffix_array": lambda: suffix_array_candidates(rep_docs, cfg),
+        }
+        unioned = drops_df = None
+        caches: list[DataFrame] = []
+        for name in cfg.candidate_sources:
+            pairs, dropped, cached = builders[name]()
+            hint = (
+                F.col("lcs_hint")
+                if "lcs_hint" in pairs.columns
+                else F.lit(None).cast("int")
+            )
+            tagged = pairs.select(
+                "url_a",
+                "url_b",
+                F.lit(name).alias("source"),
+                hint.alias("lcs_hint"),
+            )
+            drop = dropped.select(
+                F.lit(self._DROP_LABEL[name]).alias("src"),
+                F.col("dropped_bucket_members").alias("n"),
+            )
+            unioned = tagged if unioned is None else unioned.unionByName(tagged)
+            drops_df = drop if drops_df is None else drops_df.unionByName(drop)
+            if cached is not None:
+                caches.append(cached)
         cands = unioned.groupBy("url_a", "url_b").agg(
-            F.collect_set("source").alias("sources")
+            F.collect_set("source").alias("sources"),
+            F.max("lcs_hint").alias("lcs_hint"),
         )
-        col0 = "dropped_bucket_members"
-        drops_df = (
-            mh_drop.select(F.lit("lsh").alias("src"), F.col(col0).alias("n"))
-            .unionByName(sh_drop.select(F.lit("simhash").alias("src"), F.col(col0).alias("n")))
-            .unionByName(ss_drop.select(F.lit("substring").alias("src"), F.col(col0).alias("n")))
-        )
-        caches = [c for c in (c1, c2, c3) if c is not None]
         return cands, drops_df, caches
 
     # -- cancellation (SURVEY O19) ---------------------------------------------
@@ -282,8 +317,8 @@ class DedupPipeline:
             "signatures", fp_sigs, lambda: self._signatures(rep_docs), ["rep_docs"]
         )
 
-        fp_cands = self._fp("candidates", fp_sigs)
-        cands_lazy, drops_df, caches = self._candidates(signatures)
+        fp_cands = self._fp("candidates", fp_sigs, fp_exact)
+        cands_lazy, drops_df, caches = self._candidates(signatures, rep_docs)
 
         def collect_drops() -> dict:
             # one job over the persisted bucket tables (vs three re-runs of
@@ -298,7 +333,7 @@ class DedupPipeline:
                 "candidates",
                 fp_cands,
                 lambda: cands_lazy,
-                ["signatures"],
+                ["signatures", "rep_docs"],
                 counters=collect_drops,
             )
         finally:
