@@ -82,8 +82,31 @@ def test_distributed_rounds_match_local_finish(spark):
     assert ("https://chain/0/029", "https://chain/0/000") in dist
 
 
-def test_session_confs_restored_after_distributed_rounds(spark):
+def test_session_conf_never_mutated_by_distributed_rounds(spark):
+    """Round-4 verdict #7: the star rounds express their narrowed shuffle
+    width via explicit per-plan repartition; the session-global
+    spark.sql.shuffle.partitions is read as a ceiling but never written,
+    so concurrent jobs on the same session are unaffected."""
     before = spark.conf.get("spark.sql.shuffle.partitions")
     df = spark.createDataFrame([("a", "b"), ("b", "c")], ["u", "v"])
-    connected_components(df, local_finish_edges=0).collect()
+    got = {
+        (r["url"], r["cluster_id"])
+        for r in connected_components(df, local_finish_edges=0).collect()
+    }
+    assert got == {("a", "a"), ("b", "a"), ("c", "a")}
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_round_width_guards_non_numeric_conf():
+    """ADVICE r4 #3: a managed platform may set the session width to a
+    non-numeric value ('auto'); the width helper must fall back to
+    defaultParallelism instead of raising."""
+    from video_duplicate_finder_python_spark.operators.connected_components import (
+        _round_width,
+    )
+
+    assert _round_width("64", 72_000, 8) == 1
+    assert _round_width("64", 1_000_000, 8) == 5
+    assert _round_width("64", 100_000_000, 8) == 64   # ceiling: session width
+    assert _round_width("auto", 100_000_000, 8) == 8  # ceiling: fallback
+    assert _round_width(None, 72_000, 8) == 1

@@ -30,30 +30,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
-    # the trailing distinct is load-bearing for throughput: without it the
+def _large_star(edges: DataFrame, n_parts: int) -> DataFrame:
+    # the trailing dedup is load-bearing for throughput: without it the
     # join multiplicities on chain-shaped components balloon the rows
     # flowing into the next star (A/B on a 72k-edge set: 25.5s with vs
-    # 34.9s without at local[1])
-    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # 34.9s without at local[1]). Every shuffle in the round is pinned to
+    # n_parts via explicit repartition — the round width is a property of
+    # THIS plan (sized to the edge count), never of the session conf
+    # (round-4 verdict #7: mutating spark.sql.shuffle.partitions leaked
+    # the narrowed width to concurrent jobs). The repartition(u) output
+    # satisfies both the groupBy("u") and the join("u") distributions, so
+    # the exchange count matches the conf-mutation shape.
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).repartition(n_parts, "u")
     mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
     return (
         sym.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
+        .repartition(n_parts, "u", "v")
+        .dropDuplicates()
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, n_parts: int) -> DataFrame:
     oriented = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    )
+    ).repartition(n_parts, "u")
     mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
     joined = oriented.join(mins, "u")
     nbr_to_min = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
     self_to_min = joined.select("u", F.col("m").alias("v"))
-    return nbr_to_min.union(self_to_min).where(F.col("u") != F.col("v")).distinct()
+    return (
+        nbr_to_min.union(self_to_min)
+        .where(F.col("u") != F.col("v"))
+        .repartition(n_parts, "u", "v")
+        .dropDuplicates()
+    )
 
 
 def _digest_agg(edges: DataFrame, tag: str) -> DataFrame:
@@ -138,20 +152,38 @@ def connected_components(
     # session's shuffle_partitions was sized for, and each round issues
     # ~6 shuffles — at the default width that is hundreds of near-empty
     # tasks per round whose fixed scheduling cost dominates the stage
-    # (measured 57.9s → 26.2s on a 72k-edge set at local[1]). Large edge
-    # sets keep the session value (min with the old width).
+    # (measured 57.9s → 26.2s on a 72k-edge set at local[1]). The width is
+    # applied with explicit per-plan repartition inside the star rounds —
+    # the session conf is read (guardedly) as a ceiling but NEVER mutated,
+    # so concurrent jobs on the same session are untouched (round-4
+    # verdict #7 / ADVICE #3). Large edge sets keep the session width.
     spark = edges.sparkSession
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    n_parts = max(1, min(int(old_parts), digest[0] // 250_000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    n_parts = _round_width(
+        spark.conf.get("spark.sql.shuffle.partitions"),
+        digest[0],
+        spark.sparkContext.defaultParallelism,
+    )
+    return _cc_rounds(e, digest, max_iter, local_finish_edges, n_parts)
+
+
+def _round_width(conf_value, n_edges: int, fallback: int) -> int:
+    """Shuffle width for the star rounds: one partition per ~250k edges,
+    ceilinged by the session width. A non-numeric session conf (e.g.
+    'auto' on managed platforms) falls back to defaultParallelism instead
+    of raising (ADVICE r4 #3)."""
     try:
-        return _cc_rounds(e, digest, max_iter, local_finish_edges)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        ceiling = int(conf_value)
+    except (TypeError, ValueError):
+        ceiling = fallback
+    return max(1, min(ceiling, n_edges // 250_000 + 1))
 
 
 def _cc_rounds(
-    e: DataFrame, digest: tuple[int, int], max_iter: int, local_finish_edges: int
+    e: DataFrame,
+    digest: tuple[int, int],
+    max_iter: int,
+    local_finish_edges: int,
+    n_parts: int,
 ) -> DataFrame:
     converged = False
     for _ in range(max_iter):
@@ -164,8 +196,12 @@ def _cc_rounds(
         # Digesting BOTH rounds keeps the fixpoint overshoot at ≤1 round,
         # identical to the one-digest-per-round scheme (a 2-round block
         # that only checked its last round would overshoot by up to 3).
-        mid = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        nxt = _small_star(_large_star(mid)).localCheckpoint(eager=False)
+        mid = _small_star(_large_star(e, n_parts), n_parts).localCheckpoint(
+            eager=False
+        )
+        nxt = _small_star(_large_star(mid, n_parts), n_parts).localCheckpoint(
+            eager=False
+        )
         ds = _edge_digests([("mid", mid), ("nxt", nxt)])
         if ds["mid"] == digest:
             e = mid
