@@ -368,11 +368,13 @@ def test_vacuum_removes_dead_generation_despite_success_marker(spark, tmp_path):
     assert store.read().count() == 10
 
 
-def test_part_rows_backfills_legacy_manifest(spark, tmp_path):
+def test_part_rows_backfills_legacy_manifest_compute_on_read(spark, tmp_path):
     """A manifest written before row counts existed (or missing some
-    partitions' counts) is backfilled once from the live partitions'
-    parquet footers, so row_count()/delete_urls never operate on
-    incomplete counts (ADVICE r3)."""
+    partitions' counts) is backfilled from the live partitions' parquet
+    footers COMPUTE-ON-READ: reads return true counts but never write the
+    manifest (a read-only open must not perform writes, and a read-side
+    rewrite would race a concurrent upsert into a lost update — ADVICE
+    r4 #4). The next write path persists the counts."""
     import json
 
     store = SignatureStore(spark, str(tmp_path / "s"), n_parts=4)
@@ -390,9 +392,50 @@ def test_part_rows_backfills_legacy_manifest(spark, tmp_path):
     reopened = SignatureStore(spark, str(tmp_path / "s"))
     assert reopened.part_rows() == true_rows          # backfilled from footers
     assert reopened.row_count() == 20
-    # and the backfill persisted: the manifest now carries the counts
-    assert json.loads(mpath.read_text())["rows"] == {
-        k: int(v) for k, v in true_rows.items()
-    }
-    # deletes computed against backfilled counts report the true delta
+    # the READ did not rewrite the manifest (compute-on-read contract)
+    assert "rows" not in json.loads(mpath.read_text())
+    # deletes computed against backfilled counts report the true delta —
+    # and the delete's write path persists the full counts map
     assert reopened.delete_urls(["u3"]) == 1
+    persisted = json.loads(mpath.read_text())["rows"]
+    assert sum(int(v) for v in persisted.values()) == 19
+    assert set(persisted) == set(true_rows)
+
+
+def test_vacuum_cadence_leaves_no_dead_generations(spark, tmp_path):
+    """Round-3 verdict #7 / round-4 #6: with vacuum_every_n_batches set,
+    a multi-batch ingest ends with no unreferenced gen-* partition dirs —
+    superseded generations are reclaimed on cadence instead of
+    accumulating until a manual vacuum()."""
+    ingest = StreamingSignatureIngest(
+        spark, str(tmp_path / "s"), DedupConfig(), n_parts=4,
+        vacuum_every_n_batches=2,
+    )
+
+    def batch(urls_texts, bid):
+        rows = [
+            (u, None, f"<html><body><p>{t}</p></body></html>".encode(), None, "en")
+            for u, t in urls_texts
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        ingest.process_batch(df, bid)
+
+    batch([(f"https://a/{i}", f"alpha text {i}") for i in range(8)], 0)
+    batch([(f"https://a/{i}", f"alpha text {i} updated") for i in range(8)], 1)
+    batch([(f"https://b/{i}", f"beta text {i}") for i in range(8)], 2)
+    batch([(f"https://b/{i}", f"beta text {i} updated") for i in range(8)], 3)
+
+    # the cadence fired on batches 1 and 3 (every 2nd)
+    assert "vacuumed_parts" in ingest.batch_stats[1]
+    assert "vacuumed_parts" in ingest.batch_stats[3]
+    assert "vacuumed_parts" not in ingest.batch_stats[0]
+    # every on-disk partition dir is referenced by the manifest: nothing dead
+    live = set(ingest.store.manifest().values())
+    on_disk = {
+        f"{p.parent.name}/{p.name}"
+        for p in ingest.store.base.glob("gen-*/_part=*")
+    }
+    assert on_disk == live
+    assert ingest.store.read().count() == 16

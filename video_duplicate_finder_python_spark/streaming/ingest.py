@@ -144,22 +144,22 @@ class SignatureStore:
         """Per-partition row counts, maintained from parquet footers at
         write time — ``row_count()`` is a driver-side dict sum, never a
         Spark job over the store. A manifest written by an older store
-        version (no/incomplete ``rows``) is backfilled once from the live
-        partitions' footers, so ``delete_urls`` deltas never come from
-        incomplete counts."""
+        version (no/incomplete ``rows``) is backfilled from the live
+        partitions' footers COMPUTE-ON-READ ONLY: reads never write the
+        manifest (a nominally read-only open must work on read-only
+        access, and a read-side rewrite would race a concurrent
+        swap_in/upsert into a lost update — ADVICE r4 #4). The backfilled
+        counts persist the next time a write path calls
+        ``_write_manifest`` (every upsert/swap does), which already
+        assumes the store's single-writer contract."""
         doc = self._read_manifest_file()
         if doc is None:
             return {}
         parts = doc.get("parts", {})
         rows = {k: int(v) for k, v in doc.get("rows", {}).items()}
-        missing = [p for p in parts if p not in rows]
-        if missing:
-            for p in missing:
+        for p in parts:
+            if p not in rows:
                 rows[p] = self._dir_footer_rows(self._join(parts[p]))
-            self._write_json_atomic(
-                self._manifest_path(),
-                {"parts": parts, "n_parts": self.n_parts, "rows": rows},
-            )
         return rows
 
     def row_count(self) -> int:
@@ -362,11 +362,20 @@ class StreamingSignatureIngest:
         store_dir: str,
         cfg: DedupConfig | None = None,
         n_parts: int = 16,
+        vacuum_every_n_batches: int | None = None,
     ):
+        """``vacuum_every_n_batches``: opt-in GC cadence (round-3 verdict
+        #7) — after every Nth processed micro-batch the store's
+        superseded generation dirs are vacuumed, so a long-running ingest
+        doesn't accumulate unbounded dead generations. Off by default:
+        vacuum is safe only once concurrent snapshot readers have
+        finished (same contract as Iceberg expire_snapshots), which the
+        ingest can't know about readers it didn't start."""
         self.spark = spark
         self.cfg = cfg or DedupConfig()
         self.store = SignatureStore(spark, store_dir, n_parts=n_parts)
         self.batch_stats: list[dict] = []
+        self.vacuum_every_n_batches = vacuum_every_n_batches
 
     # -- batch-side logic (also usable without a stream) --------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -418,6 +427,9 @@ class StreamingSignatureIngest:
             "delta_rows": delta_count,
             "touched_parts": len(touched),
         }
+        n = self.vacuum_every_n_batches
+        if n and (len(self.batch_stats) + 1) % n == 0:  # every Nth batch
+            stat["vacuumed_parts"] = self.store.vacuum()
         self.batch_stats.append(stat)
 
     # -- stream wiring -------------------------------------------------------
