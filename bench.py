@@ -119,6 +119,42 @@ def main() -> None:
             lambda: ivf_probe(ivf_index, emb, cents, query_ids=list(range(8)), k=10)
         )
 
+        # recall@10 artifact (round-3 verdict #6 / round-4 #4): the ANN
+        # structures' quality vs the exact cosine top-10, averaged over
+        # the same 8-query batch the probe lines time — so BENCH_r{N}.json
+        # carries speed AND accuracy for the approximate paths
+        from video_duplicate_finder_python_spark.operators.ann import (
+            brute_force_topk,
+        )
+
+        qids = list(range(8))
+        truth = {
+            q: {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+            for q in qids
+        }
+
+        def recall_at_10(probe_df) -> float:
+            approx: dict[int, set] = {}
+            for r in probe_df.collect():
+                approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+            return round(
+                sum(len(truth[q] & approx.get(q, set())) / 10 for q in qids)
+                / len(qids),
+                3,
+            )
+
+        recalls = {
+            "ann_lsh_recall_at_10": recall_at_10(
+                ann_probe(index, emb, query_ids=qids, k=10)
+            ),
+            "ann_ivf_recall_at_10_nprobe16": recall_at_10(
+                ivf_probe(ivf_index, emb, cents, query_ids=qids, k=10, n_probe=16)
+            ),
+            "ann_ivf_recall_at_10_nprobe32": recall_at_10(
+                ivf_probe(ivf_index, emb, cents, query_ids=qids, k=10, n_probe=32)
+            ),
+        }
+
     total = time.monotonic() - t_total0
     out = {
         "metric": "bench_total_wall",
@@ -129,6 +165,7 @@ def main() -> None:
         "cpus": cpus,
         "dedup_docs_per_sec": dedup["docs_per_sec"],
         "dedup_n_docs": dedup["n_docs"],
+        **recalls,
     }
     print(json.dumps(out))
     spark.stop()
