@@ -479,6 +479,52 @@ def q_quality_scores(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_repetition_scores(spark, sf_dir):
+    # Gopher-style within-doc repetition filter (duplicate-2-gram fraction,
+    # Rae et al. 2021 family) — pure codegen zip_with/slice, hash-matched
+    # on the double fraction (single exactly-rounded IEEE divide).
+    from video_duplicate_finder_python_spark.functions.textstats import (
+        repetition_score,
+    )
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", repetition_score(F.col("text")).alias("rep_frac"))
+        .orderBy("doc_id")
+    )
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    # per-doc top-3 salient terms by tf·idf with the LINEAR idf = N/df
+    # (every arithmetic op exactly rounded, so ranks are bit-identical
+    # across engines — see functions/tfidf.py for why not log)
+    from video_duplicate_finder_python_spark.functions.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), k=3
+    ).orderBy("doc_id", "term_rank")
+
+
+def q_weighted_jaccard_pairs(spark, sf_dir):
+    # multiset (frequency-weighted) n-gram Jaccard — the repetition-aware
+    # twin of jaccard_pairs_brute's set scoring (operator:
+    # operators/weighted_jaccard.py). The candidate pairs here are a
+    # deterministic id band (doc_a < doc_b <= doc_a+5) so the oracle is
+    # exact and the query stays O(n·band); in the pipeline the pairs input
+    # would come from the LSH/suffix candidate stages.
+    from video_duplicate_finder_python_spark.operators.weighted_jaccard import (
+        weighted_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = d.select(F.col("doc_id").alias("doc_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"))
+    pairs = a.join(
+        b, (F.col("doc_b") > F.col("doc_a")) & (F.col("doc_b") <= F.col("doc_a") + 5)
+    )
+    return weighted_jaccard_pairs(d, pairs).orderBy("doc_a", "doc_b")
+
+
 def q_dedup_clusters(spark, sf_dir):
     # THE flagship: full DedupPipeline cluster assignment (SURVEY O10 over
     # O1..O8 outputs), oracled by a DuckDB recursive-CTE transitive closure
@@ -831,6 +877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_guess": q_lang_id_guess,
         "regex_token_counts": q_regex_token_counts,
         "quality_scores": q_quality_scores,
+        "repetition_scores": q_repetition_scores,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_with_exact": q_dedup_clusters_with_exact,
         "exact_pairs_expanded": q_exact_pairs_expanded,
@@ -1207,5 +1256,51 @@ def oracle_sql() -> dict[str, str]:
             "('the','a','of','and','to','in','is','it')))::DOUBLE "
             "/ len(string_split(text,' '))::DOUBLE * 10.0, 1.0) * 0.5 AS quality "
             "FROM documents ORDER BY doc_id"
+        ),
+        # duplicate-2-gram fraction; the CASE guard matches the Spark
+        # when(n>=2) so single-token docs are 0.0 on both sides
+        "repetition_scores": (
+            "SELECT doc_id, CASE WHEN len(t) >= 2 THEN "
+            "CAST(1 AS DOUBLE) - CAST(len(list_distinct(bg)) AS DOUBLE) "
+            "/ CAST(len(bg) AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS rep_frac "
+            "FROM (SELECT doc_id, t, list_transform(generate_series(1, len(t)-1), "
+            "i -> t[i] || ' ' || t[i+1]) AS bg "
+            "FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)) "
+            "ORDER BY doc_id"
+        ),
+        "tfidf_top_terms": (
+            "WITH tfc AS (SELECT doc_id, term, count(*) AS tf FROM "
+            "(SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents) "
+            "GROUP BY 1, 2), "
+            "dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1), "
+            "nn AS (SELECT count(*) AS n FROM documents), "
+            "scored AS (SELECT t.doc_id, t.term, t.tf, d.df, "
+            "CAST(t.tf * (SELECT n FROM nn) AS DOUBLE) / CAST(d.df AS DOUBLE) "
+            "AS score FROM tfc t JOIN dfc d USING (term)), "
+            "ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, term) AS term_rank FROM scored) "
+            "SELECT doc_id, term, tf, df, score, term_rank FROM ranked "
+            "WHERE term_rank <= 3 ORDER BY doc_id, term_rank"
+        ),
+        # multiset Jaccard over the same banded pairs the Spark query
+        # builds; sum(min)/[tot_a+tot_b-sum(min)], one IEEE divide
+        "weighted_jaccard_pairs": (
+            "WITH tc AS (SELECT doc_id, tok, count(*) AS cnt FROM "
+            "(SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents) "
+            "GROUP BY 1, 2), "
+            "tot AS (SELECT doc_id, sum(cnt) AS tot FROM tc GROUP BY 1), "
+            "pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM documents a "
+            "JOIN documents b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5), "
+            "itr AS (SELECT p.doc_a, p.doc_b, sum(least(ta.cnt, tb.cnt)) AS inter "
+            "FROM pr p JOIN tc ta ON ta.doc_id = p.doc_a "
+            "JOIN tc tb ON tb.doc_id = p.doc_b AND tb.tok = ta.tok "
+            "GROUP BY 1, 2) "
+            "SELECT p.doc_a, p.doc_b, "
+            "CAST(COALESCE(i.inter, 0) AS DOUBLE) / "
+            "CAST(ta.tot + tb.tot - COALESCE(i.inter, 0) AS DOUBLE) AS w_jaccard "
+            "FROM pr p LEFT JOIN itr i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b "
+            "JOIN tot ta ON ta.doc_id = p.doc_a "
+            "JOIN tot tb ON tb.doc_id = p.doc_b "
+            "ORDER BY p.doc_a, p.doc_b"
         ),
     }

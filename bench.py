@@ -85,6 +85,11 @@ def main() -> None:
         "knn_dot_q0",
         "knn_dot_q0_udf",
         "knn_cosine_q0",
+        # round-5 text extras (adds ~3 lines to the total — see
+        # BENCH/BASELINE.md round-over-round note)
+        "repetition_scores",
+        "tfidf_top_terms",
+        "weighted_jaccard_pairs",
     ]
     all_queries = entrymod.queries()
     for name in bench_names:

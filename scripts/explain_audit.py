@@ -198,6 +198,53 @@ def main() -> None:
         bands_plan,
     )
 
+    # 6. round-5 text extras: pure-JVM plans, no Python UDF anywhere,
+    #    and the tfidf df-side join stays broadcast (vocabulary ≪ corpus)
+    from video_duplicate_finder_python_spark.functions.textstats import (
+        repetition_score,
+    )
+    from video_duplicate_finder_python_spark.functions.tfidf import tfidf_top_terms
+    from video_duplicate_finder_python_spark.operators.weighted_jaccard import (
+        weighted_jaccard_pairs,
+    )
+
+    d = spark.read.parquet(pages_path).select("doc_id", "text")
+    a = d.select(F.col("doc_id").alias("doc_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"))
+    band_pairs = a.join(
+        b, (F.col("doc_b") > F.col("doc_a")) & (F.col("doc_b") <= F.col("doc_a") + 5)
+    )
+    wj_plan = (
+        weighted_jaccard_pairs(d, band_pairs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "weighted_jaccard: UDF-free JVM plan",
+        "EvalPython" not in wj_plan and "HashAggregate" in wj_plan,
+        wj_plan,
+    )
+    tfidf_plan = (
+        tfidf_top_terms(d)._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "tfidf: UDF-free, df side broadcast-joined",
+        "EvalPython" not in tfidf_plan and "BroadcastHashJoin" in tfidf_plan,
+        tfidf_plan,
+    )
+    rep_plan = (
+        d.select(repetition_score(F.col("text")).alias("r"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # plan toString marks codegen stages with "*(n)", not the literal
+    # word WholeStageCodegen; the zip_with lambda itself is interpreted
+    # (higher-order functions are CodegenFallback) but sits inside the
+    # codegen'd Project over a pruned single-column scan
+    check(
+        "repetition_score: no Python UDF, codegen'd projection",
+        "EvalPython" not in rep_plan and "*(" in rep_plan,
+        rep_plan,
+    )
+
     print()
     if failures:
         print(f"{len(failures)} PLAN VIOLATIONS: {failures}")

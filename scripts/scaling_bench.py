@@ -59,7 +59,11 @@ def best_of(cpus: int, parquet: str, repeats: int) -> tuple[dict, list[float]]:
     fluctuating neighbor load (observed: the same run varying 78s..239s),
     so a single sample measures the neighbors, not the job; best-of-N
     approximates uncontended performance at each level."""
-    runs = [child(cpus, parquet) for _ in range(repeats)]
+    runs = []
+    for _ in range(repeats):
+        r = child(cpus, parquet)
+        print(f"SAMPLE local[{cpus}]: {json.dumps(r)}", flush=True)
+        runs.append(r)
     all_thr = [r["docs_per_sec"] for r in runs]
     return max(runs, key=lambda r: r["docs_per_sec"]), all_thr
 
@@ -146,8 +150,14 @@ see BASELINE.md): first scan ~3.3-11.1 files/s on one machine; this
 engine processes {high['docs_per_sec']:.0f} docs/s end-to-end at
 local[{n_high}] including exact-Jaccard verification and clustering.
 """
-    (out_dir / out_md).write_text(md)
+    # print BEFORE writing so a bad out_md path can't lose an hour of
+    # measurement (r5: "BENCH/x.md" became BENCH/BENCH/x.md and the
+    # completed run's numbers died in write_text)
     print(md)
+    out_path = Path(out_md)
+    if not out_path.is_absolute():
+        out_path = (REPO / out_md) if "/" in out_md else (out_dir / out_md)
+    out_path.write_text(md)
 
 
 if __name__ == "__main__":

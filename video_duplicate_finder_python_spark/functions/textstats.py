@@ -49,6 +49,32 @@ def quality_score(text: Column) -> Column:
     return len_part * 0.5 + stop_part * 0.5
 
 
+def repetition_score(text: Column) -> Column:
+    """Gopher-style within-document repetition filter: the fraction of
+    2-gram occurrences that are duplicates, 1 - distinct/total (Rae et al.
+    2021's duplicate-n-gram family; published heuristic, from-scratch
+    expression). Boilerplate-spam pages score near 1, clean prose near 0.
+
+    Pure JVM: zip_with over two shifted slices builds the bigram array, so
+    the whole thing stays in whole-stage codegen. Docs with <2 tokens
+    score 0.0. The subtraction/division are single IEEE ops — bit-identical
+    in any engine computing the same integer counts (DuckDB oracle twin in
+    __spark_entry__.oracle_sql()["repetition_scores"]).
+    """
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    frac = F.lit(1.0) - (
+        F.size(F.array_distinct(bigrams)).cast("double")
+        / F.size(bigrams).cast("double")
+    )
+    return F.when(n >= 2, frac).otherwise(F.lit(0.0))
+
+
 def lang_guess(text: Column) -> Column:
     """Stopword-vote language ID: argmax of (en, de, fr) hit counts, 'und'
     when all are zero; ties break en > de > fr (CASE order)."""

@@ -1,0 +1,55 @@
+"""TF-IDF term scoring over a document table (training-data-pipeline extra).
+
+Per-document top-k salient terms by tf·idf, where idf is the LINEAR ratio
+N/df rather than log(N/df). The log variant is more common, but ln() is not
+required to be correctly rounded by IEEE-754, so two engines can disagree in
+the last ulp and flip ranks at near-ties — the linear ratio keeps every
+arithmetic op (integer multiply, one double divide) exactly rounded and the
+ranking bit-identical across Spark and the DuckDB oracle. Ranking by
+tf·N/df orders identically to tf/df (N constant per corpus), which is
+rank-equivalent to tf·idf for any strictly monotone idf(df) — so the top-k
+SET matches the log variant except where log's ulp error would have made the
+comparison ambiguous anyway.
+
+Scale shape: one explode+groupBy for tf (shuffle on (doc, term)), one
+groupBy for df (shuffle on term), a broadcast-sized scalar N, and a
+per-document window for the top-k — all JVM, no UDFs. At 100 TB the df
+table is vocabulary-sized (zipfian, ≪ corpus) and broadcast-joins back onto
+tf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tfidf_top_terms(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """→ (doc_id, term, tf, df, score, term_rank) for each doc's top-k
+    terms. score = tf * N / df (double); term_rank is row_number over
+    (score desc, term asc) per doc — the term tiebreak makes the top-k
+    deterministic and total.
+    """
+    n_docs = docs.count()
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # tf already has one row per (doc, term), so df is a plain count
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "term").withColumn(
+        "score",
+        (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df").cast("double"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("term_rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "term_rank")
+    )
