@@ -525,6 +525,36 @@ def q_weighted_jaccard_pairs(spark, sf_dir):
     return weighted_jaccard_pairs(d, pairs).orderBy("doc_a", "doc_b")
 
 
+def q_line_dedup_cleaned(spark, sf_dir):
+    # C4/RefinedWeb-style exact line dedup BELOW document granularity
+    # (operators/line_dedup.py): every 10-token chunk whose exact string
+    # recurs across documents is dropped from all of them; survivors
+    # re-join in position order. Hash-matched on the cleaned text itself.
+    from video_duplicate_finder_python_spark.operators.line_dedup import (
+        drop_cross_doc_duplicate_lines,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return drop_cross_doc_duplicate_lines(d).orderBy("doc_id")
+
+
+def q_contaminated_docs(spark, sf_dir):
+    # benchmark decontamination (operators/decontaminate.py): docs sharing
+    # any exact 5-shingle with the "eval set" (every 11th doc here), with
+    # the distinct-shared-shingle count. The eval side is broadcast; the
+    # corpus side is one explode pass.
+    from video_duplicate_finder_python_spark.operators.decontaminate import (
+        contamination_overlap,
+    )
+
+    d = _with_shingle_strings(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "text"
+    ).select("doc_id", "s")
+    eval_side = d.where(F.col("doc_id") % 11 == 0)
+    corpus_side = d.where(F.col("doc_id") % 11 != 0)
+    return contamination_overlap(corpus_side, eval_side).orderBy("doc_id")
+
+
 def q_dedup_clusters(spark, sf_dir):
     # THE flagship: full DedupPipeline cluster assignment (SURVEY O10 over
     # O1..O8 outputs), oracled by a DuckDB recursive-CTE transitive closure
@@ -880,6 +910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         "tfidf_top_terms": q_tfidf_top_terms,
         "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
+        "line_dedup_cleaned": q_line_dedup_cleaned,
+        "contaminated_docs": q_contaminated_docs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_with_exact": q_dedup_clusters_with_exact,
         "exact_pairs_expanded": q_exact_pairs_expanded,
@@ -1302,5 +1334,35 @@ def oracle_sql() -> dict[str, str]:
             "JOIN tot ta ON ta.doc_id = p.doc_a "
             "JOIN tot tb ON tb.doc_id = p.doc_b "
             "ORDER BY p.doc_a, p.doc_b"
+        ),
+        # 10-token chunks; a chunk is dropped iff its exact string occurs
+        # in >1 document; survivors string_agg back in position order
+        # (empty string, not NULL, when everything dropped — matches
+        # Spark's array_join of an empty array)
+        "line_dedup_cleaned": (
+            "WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), "
+            "flat AS (SELECT doc_id, c['pos'] AS pos, c['line'] AS line FROM "
+            "(SELECT doc_id, unnest(list_transform("
+            "generate_series(0, CAST(floor((len(t)-1)/10) AS BIGINT)), "
+            "i -> {'pos': i, 'line': array_to_string(t[i*10+1:i*10+10], ' ')})) AS c "
+            "FROM toks)), "
+            "dup AS (SELECT line FROM flat GROUP BY line "
+            "HAVING count(DISTINCT doc_id) > 1), "
+            "flagged AS (SELECT f.doc_id, f.pos, f.line, d.line IS NOT NULL AS is_dup "
+            "FROM flat f LEFT JOIN dup d USING (line)) "
+            "SELECT doc_id, COALESCE(string_agg(CASE WHEN NOT is_dup THEN line END, "
+            "' ' ORDER BY pos), '') AS cleaned_text, "
+            "CAST(count(*) FILTER (is_dup) AS BIGINT) AS n_dropped "
+            "FROM flagged GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # eval set = every 11th doc; contamination = sharing any exact
+        # distinct 5-shingle with it
+        "contaminated_docs": (
+            _SHINGLE_CTE.rstrip()
+            + ", ev AS (SELECT DISTINCT gram FROM "
+            "(SELECT unnest(s) AS gram FROM sh WHERE doc_id % 11 = 0)), "
+            "cg AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 11 <> 0) "
+            "SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_shared "
+            "FROM cg JOIN ev USING (gram) GROUP BY doc_id ORDER BY doc_id"
         ),
     }

@@ -1,0 +1,74 @@
+"""Corpus-level exact line deduplication (C4 / RefinedWeb style).
+
+Large web-text pipelines drop every LINE whose exact content recurs across
+documents (navigation bars, cookie banners, boilerplate footers) — a dedup
+class distinct from whole-document near-dup: the document survives, its
+repeated lines don't. C4 removed any three-sentence span occurring more
+than once; RefinedWeb's exact-substring pass removes repeated spans.
+
+The reference's analog is whole-item only (per-file signature compare,
+/root/reference/src/core/comparator.py:52-63); this operator extends the
+engine below document granularity. Since the synthetic corpus carries no
+newlines, the line model is a fixed-width chunk of ``chunk_tokens``
+whitespace tokens (a real corpus would split on '\\n' first — same plan
+shape, different delimiter).
+
+Scale shape: one explode (doc → chunks, JVM higher-order transform over
+the token array, no shuffle), one groupBy chunk-string with a
+count-distinct-docs aggregate (partial aggregation collapses within-doc
+repeats map-side), one join back on the chunk string, and one per-doc
+re-assembly groupBy. The duplicated-chunk set is boilerplate-sized
+(≪ corpus), so on a cluster the join-back qualifies for a broadcast; the
+chunk groupBy is the only corpus-sized shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunked_lines(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", chunk_tokens: int = 10
+) -> DataFrame:
+    """→ (doc_id, pos, line): non-overlapping ``chunk_tokens``-token chunks
+    of each document, pos = 0-based chunk index. The chunking runs as a
+    JVM transform/slice over the split array — no shuffle, no UDF."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    k = chunk_tokens
+    # ceil(n/k) - 1 == floor((n-1)/k) for n >= 1 (split never yields [])
+    idx = F.sequence(F.lit(0), F.floor((n - 1) / k).cast("int"))
+    chunks = F.transform(idx, lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("pos", "line")
+    )
+
+
+def drop_cross_doc_duplicate_lines(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", chunk_tokens: int = 10
+) -> DataFrame:
+    """→ (doc_id, cleaned_text, n_dropped): every chunk whose exact string
+    occurs in MORE THAN ONE document is dropped from all of them
+    (RefinedWeb semantics — within-doc repeats of a doc-unique line
+    survive); the survivors re-join in position order. Docs losing every
+    chunk keep an empty cleaned_text rather than vanishing."""
+    lines = chunked_lines(docs, id_col, text_col, chunk_tokens)
+    dup_lines = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+        .select("line", F.lit(True).alias("is_dup"))
+    )
+    flagged = lines.join(dup_lines, "line", "left").select(
+        "doc_id", "pos", "line", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "is_dup", "line"))).alias("chunks")
+    )
+    kept = F.filter(F.col("chunks"), lambda c: ~c["is_dup"])
+    return per_doc.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda c: c["line"]), " ").alias("cleaned_text"),
+        (F.size("chunks") - F.size(kept)).cast("bigint").alias("n_dropped"),
+    )
