@@ -85,11 +85,15 @@ def main() -> None:
         "knn_dot_q0",
         "knn_dot_q0_udf",
         "knn_cosine_q0",
-        # round-5 text extras (adds ~3 lines to the total — see
+        # round-5 extras (adds ~6 lines to the total — see
         # BENCH/BASELINE.md round-over-round note)
         "repetition_scores",
         "tfidf_top_terms",
         "weighted_jaccard_pairs",
+        "line_dedup_cleaned",
+        "contaminated_docs",
+        # the north rule's generalized suffix-array substring pass
+        "suffix_array_pair_spans",
     ]
     all_queries = entrymod.queries()
     for name in bench_names:
