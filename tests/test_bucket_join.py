@@ -38,3 +38,66 @@ def test_skew_cap_drops_and_counts(spark):
     # capped at 4 members -> C(4,2)=6 pairs, 6 members dropped (counted)
     assert len(got) == 6
     assert dropped == 6
+
+
+def _salted(spark, rows, max_bucket_size=256, salt_threshold=4, n_salts=4):
+    df = spark.createDataFrame(rows, ["key", "url"])
+    pairs, dropped, _cached = bucket_pairs(
+        df,
+        key_cols=["key"],
+        max_bucket_size=max_bucket_size,
+        salt_threshold=salt_threshold,
+        n_salts=n_salts,
+    )
+    got = sorted((r["url_a"], r["url_b"]) for r in pairs.collect())
+    return got, int(dropped.first()[0] or 0)
+
+
+def test_salted_matches_unsalted_below_cap(spark):
+    """North rule: 'skewed band buckets via salted repartitioning'. With
+    the cap large enough to keep every member, the salted shape emits
+    EXACTLY the unsalted pair set — salting moves the ranking off the
+    single hot-key window partition (per (key, salt) instead), while pair
+    formation still joins on the bare key, so members pair across salts."""
+    rows = [(1, f"u{i:02d}") for i in range(12)] + [(2, "x"), (2, "y"), (3, "solo")]
+    want, want_drops = _pairs(spark, rows)
+    got, drops = _salted(spark, rows, salt_threshold=4, n_salts=4)
+    assert got == want  # 12-member hot bucket: all C(12,2)=66 pairs + (x,y)
+    assert drops == want_drops == 0
+
+
+def test_salted_hot_bucket_quota_counts_drops(spark):
+    """Hot buckets keep a per-salt quota of max_bucket_size // n_salts
+    members (kept <= cap in total); everything beyond is a counted drop."""
+    rows = [(1, f"u{i:03d}") for i in range(40)]
+    got, dropped = _salted(spark, rows, max_bucket_size=8, salt_threshold=10, n_salts=4)
+    kept = {u for p in got for u in p}
+    assert 2 <= len(kept) <= 8  # n_salts * quota == cap
+    assert dropped == 40 - len(kept)
+    # determinism: the per-salt url-ordered prefix is a pure function
+    got2, dropped2 = _salted(
+        spark, rows, max_bucket_size=8, salt_threshold=10, n_salts=4
+    )
+    assert got2 == got and dropped2 == dropped
+
+
+def test_salted_cold_path_unchanged(spark):
+    """Buckets at or below the threshold take the original single-window
+    path: same pairs, same singleton skip, same cap drops."""
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "x"), (2, "y"), (3, "solo")]
+    got, dropped = _salted(spark, rows, salt_threshold=100)
+    assert got == [("a", "b"), ("a", "c"), ("b", "c"), ("x", "y")]
+    assert dropped == 0
+
+
+def test_salted_plan_windows_per_salt(spark):
+    """Plan evidence: the hot branch's row_number window partitions by
+    (key, _salt) — the whole-bucket single-task sort is gone from the hot
+    path."""
+    rows = [(1, f"u{i:02d}") for i in range(12)]
+    df = spark.createDataFrame(rows, ["key", "url"])
+    pairs, _d, _c = bucket_pairs(
+        df, key_cols=["key"], salt_threshold=4, n_salts=4
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan

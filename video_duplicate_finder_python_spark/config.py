@@ -57,6 +57,11 @@ class DedupConfig:
                                     # (exact dups are collapsed upstream, so
                                     # an over-cap bucket is a hash-skew trap,
                                     # not lost recall; drops are counted)
+    skew_salt_threshold: int = 65536  # buckets larger than this are ranked
+                                    # per (key, salt) so no single task sorts
+                                    # a mega-bucket — the north rule's salted
+                                    # repartitioning (bucket_join docstring)
+    skew_n_salts: int = 16          # salt fan-out for hot-bucket ranking
 
     # --- determinism ---
     seed: int = 42

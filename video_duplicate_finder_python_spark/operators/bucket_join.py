@@ -11,6 +11,25 @@ one adversarial key can't go quadratic (SURVEY.md §4 skew handling). Exact
 duplicates are collapsed upstream (operators/exact.py), so an over-cap
 bucket here is hash skew, not recall; drops are surfaced as a metric, never
 silent.
+
+Skew model at 10^12-doc scale (the north rule's "salted repartitioning"):
+the cap bounds pair *emission*, but ranking a bucket with a row_number
+window still sorts the whole bucket in ONE task — a boilerplate band-hash
+shared by 10^8 pages is a straggler/OOM regardless of the cap. With
+``salt_threshold`` set, bucket sizes are computed first by a
+``groupBy().count()`` whose map-side partial aggregation is skew-immune
+(hot-key rows combine locally; only per-key counts shuffle); keys above
+the threshold are broadcast back (pigeonhole: ≤ rows/threshold hot keys,
+~16 B each) and their members are ranked per ``(key, salt)`` with
+``salt = pmod(xxhash64(id), n_salts)`` — the window partition shrinks from
+the full bucket to ~bucket/n_salts, and each salt keeps a quota of
+``max_bucket_size // n_salts`` members, so the kept set stays ≤ the cap.
+Pair formation joins on the bare key (not key+salt), so kept members pair
+across salts exactly as in the unsalted shape; only the *selection* of
+which members survive the cap differs (per-salt url-ordered prefix instead
+of the global url-ordered prefix — both deterministic). Cold buckets take
+the original single-window path, whose partitions are now bounded by
+``salt_threshold`` by construction.
 """
 
 from __future__ import annotations
@@ -27,6 +46,8 @@ def bucket_pairs(
     carry_cols: list[str] | None = None,
     max_bucket_size: int = 256,
     persist: bool = False,
+    salt_threshold: int | None = None,
+    n_salts: int = 16,
 ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """Emit candidate pairs from rows sharing ``key_cols``.
 
@@ -35,7 +56,15 @@ def bucket_pairs(
     carry column, and ``dropped`` is a 1-row DataFrame with the count of
     bucket members beyond the cap (a skew metric, SURVEY.md §4).
 
-    ``persist=True`` caches the windowed bucket table (MEMORY_AND_DISK) so
+    ``salt_threshold``: buckets larger than this are ranked per
+    ``(key, salt)`` instead of per key (see module docstring) so no single
+    task ever sorts a whole mega-bucket; ``None`` keeps the one-shuffle
+    unsalted shape (right for inputs whose bucket sizes are known-bounded).
+    Choose it ≥ ``max_bucket_size`` and small enough that one task
+    comfortably sorts ``salt_threshold`` rows (the cold-path partition
+    bound); 64k is a sane default at web scale.
+
+    ``persist=True`` caches the ranked bucket table (MEMORY_AND_DISK) so
     that running the ``pairs`` action and the ``dropped`` action doesn't
     execute the explode+window shuffle twice — Spark does not reuse shuffle
     output across separately-triggered jobs. The caller owns the returned
@@ -45,35 +74,58 @@ def bucket_pairs(
     at cluster scale; the alternative is accepting a 2× recompute.
     """
     carry_cols = carry_cols or []
+    keep_cols = [*key_cols, id_col, *carry_cols]
     w = Window.partitionBy(*key_cols).orderBy(id_col)
-    sized = df.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_bsz", F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
-    )
-    multi = sized.filter(F.col("_bsz") >= 2)
+
+    def rank_unsalted(part: DataFrame, cap: int) -> DataFrame:
+        return (
+            part.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_bsz", F.count(F.lit(1)).over(Window.partitionBy(*key_cols)))
+            .filter(F.col("_bsz") >= 2)
+            .select(*keep_cols, "_rn", F.lit(cap).alias("_cap"))
+        )
+
+    if salt_threshold is None:
+        ranked = rank_unsalted(df, max_bucket_size)
+    else:
+        sizes = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bsz"))
+        hot_keys = sizes.where(F.col("_bsz") > salt_threshold).select(*key_cols)
+        cold = df.join(F.broadcast(hot_keys), key_cols, "left_anti")
+        hot = df.join(F.broadcast(hot_keys), key_cols, "left_semi")
+        # hot buckets have > salt_threshold >= 2 members by construction —
+        # no singleton filter needed; quota keeps the per-salt url-ordered
+        # prefix, total kept <= n_salts * quota <= max_bucket_size
+        quota = max(1, max_bucket_size // n_salts)
+        ws = Window.partitionBy(*key_cols, "_salt").orderBy(id_col)
+        hot_ranked = (
+            hot.withColumn("_salt", F.pmod(F.xxhash64(id_col), F.lit(n_salts)))
+            .withColumn("_rn", F.row_number().over(ws))
+            .select(*keep_cols, "_rn", F.lit(quota).alias("_cap"))
+        )
+        ranked = rank_unsalted(cold, max_bucket_size).unionByName(hot_ranked)
+
     cached = None
     if persist:
-        multi = multi.persist(StorageLevel.MEMORY_AND_DISK)
-        cached = multi
-    kept = multi.filter(F.col("_rn") <= max_bucket_size)
-    dropped = multi.filter(F.col("_rn") > max_bucket_size).select(
+        ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = ranked
+    kept = ranked.filter(F.col("_rn") <= F.col("_cap"))
+    dropped = ranked.filter(F.col("_rn") > F.col("_cap")).select(
         F.count(F.lit(1)).alias("dropped_bucket_members")
     )
 
     left = kept.select(
         *key_cols,
         F.col(id_col).alias("url_a"),
-        F.col("_rn").alias("_rn_a"),
         *[F.col(c).alias(f"{c}_a") for c in carry_cols],
     )
     right = kept.select(
         *key_cols,
         F.col(id_col).alias("url_b"),
-        F.col("_rn").alias("_rn_b"),
         *[F.col(c).alias(f"{c}_b") for c in carry_cols],
     )
     pairs = (
         left.join(right, key_cols)
-        .where(F.col("_rn_a") < F.col("_rn_b"))
-        .drop("_rn_a", "_rn_b", *key_cols)
+        .where(F.col("url_a") < F.col("url_b"))
+        .drop(*key_cols)
     )
     return pairs, dropped, cached

@@ -60,6 +60,8 @@ def minhash_band_candidates(
         key_cols=["band_id", "band_hash"],
         max_bucket_size=cfg.max_bucket_size,
         persist=persist,
+        salt_threshold=cfg.skew_salt_threshold,
+        n_salts=cfg.skew_n_salts,
     )
     if dedup:
         pairs = pairs.dropDuplicates(["url_a", "url_b"])

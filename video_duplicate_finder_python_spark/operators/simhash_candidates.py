@@ -50,6 +50,8 @@ def simhash_candidates(
         carry_cols=["simhash"],
         max_bucket_size=cfg.max_bucket_size,
         persist=persist,
+        salt_threshold=cfg.skew_salt_threshold,
+        n_salts=cfg.skew_n_salts,
     )
     out = (
         pairs.withColumn(

@@ -29,7 +29,12 @@ def substring_candidates(
     union shuffle (measured; see lsh.minhash_band_candidates)."""
     fps = signatures.select("url", F.explode("fingerprints").alias("fp"))
     pairs, dropped, cached = bucket_pairs(
-        fps, key_cols=["fp"], max_bucket_size=cfg.max_bucket_size, persist=persist
+        fps,
+        key_cols=["fp"],
+        max_bucket_size=cfg.max_bucket_size,
+        persist=persist,
+        salt_threshold=cfg.skew_salt_threshold,
+        n_salts=cfg.skew_n_salts,
     )
     if dedup:
         pairs = pairs.dropDuplicates(["url_a", "url_b"])
