@@ -555,6 +555,124 @@ def q_contaminated_docs(spark, sf_dir):
     return contamination_overlap(corpus_side, eval_side).orderBy("doc_id")
 
 
+def _messy_urls(spark, sf_dir):
+    """Deterministic messy surface-form URLs derived from doc_id (same
+    recipe as the DuckDB oracle's murls CTE): mixed-case scheme/host,
+    default ports, tracking params, trailing slashes, fragments. Canonical
+    collapse groups doc_ids by (doc_id%7, doc_id%10, doc_id%2) — ~7 docs
+    per canonical url at sf0.01."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    i = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    url = F.concat(
+        F.when(i % 2 == 0, F.lit("HTTP")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(i % 5 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
+        F.lit("site"), s(i % 7), F.lit(".Example.COM"),
+        F.when(i % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/page/"), s(i % 10),
+        F.when(i % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.concat(F.lit("?utm_source=feed&id="), s(i % 2)))
+        .otherwise(F.concat(F.lit("?id="), s(i % 2))),
+        F.when(i % 2 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", "n_chars", url.alias("url"))
+
+
+def q_url_dedup(spark, sf_dir):
+    # canonical-URL dedup (functions/urlnorm.py): the cheapest web dedup
+    # class — same page crawled under tracking params / case / port /
+    # slash / fragment variants — collapsed by a pure-JVM rewrite chain
+    # before any content hashing. Hash-matched against a DuckDB oracle
+    # running the RE2 twin of the same rewrite steps.
+    from video_duplicate_finder_python_spark.functions.urlnorm import (
+        canonicalize_url,
+    )
+
+    return (
+        _messy_urls(spark, sf_dir)
+        .select("doc_id", canonicalize_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+def q_domain_stats(spark, sf_dir):
+    # per-host corpus stats over the canonicalized URLs — the groupBy any
+    # crawl-curation pass starts from (host-level quotas/filtering).
+    from video_duplicate_finder_python_spark.functions.urlnorm import (
+        canonicalize_url,
+    )
+
+    canon = canonicalize_url(F.col("url"))
+    host = F.regexp_extract(canon, r"^[a-z][a-z0-9+.\-]*://([^/:?#]+)", 1)
+    return (
+        _messy_urls(spark, sf_dir)
+        .select(host.alias("host"), "n_chars")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("host")
+    )
+
+
+def q_pii_scrubbed(spark, sf_dir):
+    # PII redaction (functions/pii.py): emails/phones/IPv4 planted
+    # deterministically per doc_id, scrubbed to stable tokens with
+    # per-class counts on the original text. RE2-compatible patterns →
+    # the DuckDB oracle runs the very same regex text.
+    from video_duplicate_finder_python_spark.functions.pii import (
+        pii_counts,
+        scrub_pii,
+    )
+
+    i = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    ptext = F.concat(
+        F.col("text"),
+        F.when(
+            i % 3 == 0,
+            F.concat(F.lit(" Contact user"), s(i % 40), F.lit("@mail.example.org now.")),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 0,
+            F.concat(
+                F.lit(" Call 555-"),
+                F.lpad(s(i % 1000), 3, "0"),
+                F.lit("-0199 today."),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 4 == 0,
+            F.concat(
+                F.lit(" Server at 10.0."), s(i % 200), F.lit("."), s(i % 250),
+                F.lit(" up."),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", ptext.alias("ptext"))
+    counts = pii_counts(F.col("ptext"))
+    return d.select(
+        "doc_id",
+        counts["n_emails"].cast("bigint").alias("n_emails"),
+        counts["n_phones"].cast("bigint").alias("n_phones"),
+        counts["n_ips"].cast("bigint").alias("n_ips"),
+        scrub_pii(F.col("ptext")).alias("scrubbed"),
+    ).orderBy("doc_id")
+
+
 def q_dedup_clusters(spark, sf_dir):
     # THE flagship: full DedupPipeline cluster assignment (SURVEY O10 over
     # O1..O8 outputs), oracled by a DuckDB recursive-CTE transitive closure
@@ -912,6 +1030,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
         "line_dedup_cleaned": q_line_dedup_cleaned,
         "contaminated_docs": q_contaminated_docs,
+        "url_dedup": q_url_dedup,
+        "domain_stats": q_domain_stats,
+        "pii_scrubbed": q_pii_scrubbed,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_with_exact": q_dedup_clusters_with_exact,
         "exact_pairs_expanded": q_exact_pairs_expanded,
@@ -984,7 +1105,66 @@ def _closure_sql(docs_cte: str) -> str:
     )
 
 
+_MESSY_URLS_CTE = (
+    "WITH murls AS (SELECT doc_id, n_chars, "
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END || '://' || "
+    "CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE 'www.' END || "
+    "'site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM' || "
+    "CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END || "
+    "'/page/' || CAST(doc_id % 10 AS VARCHAR) || "
+    "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END || "
+    "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 2 AS VARCHAR) "
+    "ELSE '?id=' || CAST(doc_id % 2 AS VARCHAR) END || "
+    "CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END) AS u FROM documents)"
+)
+
+
+def _canon_chain() -> tuple[str, str]:
+    """Chained-CTE form of the urlnorm rewrite steps (returns the CTE text
+    and the name of the final CTE). Generated from the very list the Spark
+    side mirrors, so the two engines can't drift apart silently."""
+    from video_duplicate_finder_python_spark.functions.urlnorm import (
+        canonicalize_url_duckdb_steps,
+    )
+
+    parts, prev = [], "murls"
+    for idx, st in enumerate(canonicalize_url_duckdb_steps(), 1):
+        parts.append(f", c{idx} AS (SELECT doc_id, n_chars, {st} AS u FROM {prev})")
+        prev = f"c{idx}"
+    return "".join(parts), prev
+
+
+def _pii_oracle_sql() -> str:
+    from video_duplicate_finder_python_spark.functions.pii import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+    )
+
+    return (
+        "WITH p AS (SELECT doc_id, (text || "
+        "CASE WHEN doc_id % 3 = 0 THEN ' Contact user' || CAST(doc_id % 40 AS VARCHAR) "
+        "|| '@mail.example.org now.' ELSE '' END || "
+        "CASE WHEN doc_id % 5 = 0 THEN ' Call 555-' || "
+        "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199 today.' ELSE '' END || "
+        "CASE WHEN doc_id % 4 = 0 THEN ' Server at 10.0.' || CAST(doc_id % 200 AS VARCHAR) "
+        "|| '.' || CAST(doc_id % 250 AS VARCHAR) || ' up.' ELSE '' END) AS ptext "
+        "FROM documents), "
+        f"e AS (SELECT doc_id, ptext, regexp_replace(ptext, '{EMAIL_RE}', '<EMAIL>', 'g') "
+        "AS after_email FROM p), "
+        f"ph AS (SELECT *, regexp_replace(after_email, '{PHONE_RE}', '<PHONE>', 'g') "
+        "AS after_phone FROM e) "
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(ptext, '{EMAIL_RE}')) AS BIGINT) AS n_emails, "
+        f"CAST(len(regexp_extract_all(after_email, '{PHONE_RE}')) AS BIGINT) AS n_phones, "
+        f"CAST(len(regexp_extract_all(after_phone, '{IPV4_RE}')) AS BIGINT) AS n_ips, "
+        f"regexp_replace(after_phone, '{IPV4_RE}', '<IP>', 'g') AS scrubbed "
+        "FROM ph ORDER BY doc_id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
+    _canon_ctes, _canon_last = _canon_chain()
     return {
         "doc_content_hash": (
             "SELECT doc_id, md5(text) AS content_hash FROM documents ORDER BY doc_id"
@@ -1018,6 +1198,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 20"
         ),
+        "url_dedup": (
+            _MESSY_URLS_CTE + _canon_ctes
+            + f" SELECT u AS canonical_url, count(*) AS n_docs, "
+            f"min(doc_id) AS min_doc_id FROM {_canon_last} "
+            "GROUP BY u ORDER BY canonical_url"
+        ),
+        "domain_stats": (
+            _MESSY_URLS_CTE + _canon_ctes
+            + " SELECT regexp_extract(u, '^[a-z][a-z0-9+.\\-]*://([^/:?#]+)', 1) "
+            f"AS host, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) "
+            f"AS sum_chars FROM {_canon_last} GROUP BY host ORDER BY host"
+        ),
+        "pii_scrubbed": _pii_oracle_sql(),
         "jaccard_pairs_brute": _JACCARD_PAIRS + "ORDER BY jac DESC, doc_a, doc_b LIMIT 20",
         "shingle_counts": (
             _SHINGLE_CTE

@@ -92,6 +92,8 @@ def main() -> None:
         "weighted_jaccard_pairs",
         "line_dedup_cleaned",
         "contaminated_docs",
+        "url_dedup",
+        "pii_scrubbed",
         # the north rule's generalized suffix-array substring pass
         "suffix_array_pair_spans",
     ]
