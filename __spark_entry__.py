@@ -686,6 +686,44 @@ def q_dedup_clusters(spark, sf_dir):
     return res.clusters.orderBy("url")
 
 
+def q_dedup_retention(spark, sf_dir):
+    # cluster retention policy (operators/retention.py): dedup's final
+    # decision — keep exactly one member per duplicate cluster (longest
+    # text, url tiebreak), drop the rest. Oracle = the same recursive-CTE
+    # closure as dedup_clusters plus a row_number window.
+    from video_duplicate_finder_python_spark.operators.retention import (
+        cluster_retention,
+    )
+
+    res = _run_pipeline(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://docs.example/"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        "n_chars",
+    )
+    return cluster_retention(res.clusters, docs).orderBy("url")
+
+
+def q_gopher_filter(spark, sf_dir):
+    # composite Gopher-style keep/drop filter (textstats.gopher_flags):
+    # per-rule boolean flags + combined keep, all integer comparisons or
+    # single IEEE divides over integer counts — bit-identical in DuckDB.
+    from video_duplicate_finder_python_spark.functions.textstats import gopher_flags
+
+    flags = gopher_flags(F.col("text"))
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            *[flags[k].alias(k) for k in
+              ("too_short", "too_long", "bad_word_len", "no_stopwords",
+               "repetitive", "keep")],
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_clusters_with_exact(spark, sf_dir):
     # the exact-duplicate class with rows > 0 (round-2 verdict #1): union
     # documents with byte-identical re-keyed copies, run the FULL
@@ -1034,6 +1072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "pii_scrubbed": q_pii_scrubbed,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_retention": q_dedup_retention,
+        "gopher_filter": q_gopher_filter,
         "dedup_clusters_with_exact": q_dedup_clusters_with_exact,
         "exact_pairs_expanded": q_exact_pairs_expanded,
         "substring_dup_clusters": q_substring_dup_clusters,
@@ -1163,6 +1203,32 @@ def _pii_oracle_sql() -> str:
     )
 
 
+# the recursive-CTE transitive closure of the brute-force jaccard>=0.8
+# graph — the shared oracle core for dedup_clusters and dedup_retention
+_CLOSURE_CTES = (
+    "WITH RECURSIVE "
+    "toks AS (SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url, "
+    "string_split(text, ' ') AS t FROM documents), "
+    "sh AS (SELECT url, CASE WHEN len(t) >= 5 "
+    "THEN list_distinct(list_transform(generate_series(1, len(t) - 4), "
+    "i -> array_to_string(t[i:i+4], ' '))) "
+    "ELSE [array_to_string(t, ' ')] END AS s FROM toks), "
+    "jp AS (SELECT a.url AS src, b.url AS dst "
+    "FROM sh a JOIN sh b ON a.url < b.url "
+    "WHERE len(list_intersect(a.s, b.s))::DOUBLE "
+    "/ (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.8), "
+    "edges AS (SELECT src, dst FROM jp UNION ALL SELECT dst, src FROM jp), "
+    "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+    "walk(node, reach) AS ("
+    "SELECT node, node FROM nodes "
+    "UNION "
+    "SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src)"
+)
+_CLOSURE_SELECT = (
+    "SELECT node AS url, min(reach) AS cluster_id FROM walk GROUP BY node"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     _canon_ctes, _canon_last = _canon_chain()
     return {
@@ -1217,26 +1283,37 @@ def oracle_sql() -> dict[str, str]:
             + "SELECT doc_id, CAST(len(s) AS BIGINT) AS n_shingles "
             + "FROM sh ORDER BY doc_id"
         ),
-        "dedup_clusters": (
-            "WITH RECURSIVE "
-            "toks AS (SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url, "
-            "string_split(text, ' ') AS t FROM documents), "
-            "sh AS (SELECT url, CASE WHEN len(t) >= 5 "
-            "THEN list_distinct(list_transform(generate_series(1, len(t) - 4), "
-            "i -> array_to_string(t[i:i+4], ' '))) "
-            "ELSE [array_to_string(t, ' ')] END AS s FROM toks), "
-            "jp AS (SELECT a.url AS src, b.url AS dst "
-            "FROM sh a JOIN sh b ON a.url < b.url "
-            "WHERE len(list_intersect(a.s, b.s))::DOUBLE "
-            "/ (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.8), "
-            "edges AS (SELECT src, dst FROM jp UNION ALL SELECT dst, src FROM jp), "
-            "nodes AS (SELECT DISTINCT src AS node FROM edges), "
-            "walk(node, reach) AS ("
-            "SELECT node, node FROM nodes "
-            "UNION "
-            "SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src) "
-            "SELECT node AS url, min(reach) AS cluster_id "
-            "FROM walk GROUP BY node ORDER BY url"
+        "dedup_clusters": _CLOSURE_CTES + " " + _CLOSURE_SELECT + " ORDER BY url",
+        "dedup_retention": (
+            _CLOSURE_CTES
+            + ", cl AS (" + _CLOSURE_SELECT + "), "
+            "d AS (SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url, "
+            "n_chars FROM documents) "
+            "SELECT cl.url, cl.cluster_id, "
+            "(row_number() OVER (PARTITION BY cl.cluster_id "
+            "ORDER BY d.n_chars DESC, cl.url) = 1) AS is_kept "
+            "FROM cl JOIN d USING (url) ORDER BY url"
+        ),
+        "gopher_filter": (
+            "SELECT doc_id, "
+            "n < 50 AS too_short, "
+            "n > 100000 AS too_long, "
+            "(mwl < 3.0 OR mwl > 10.0) AS bad_word_len, "
+            "nstop = 0 AS no_stopwords, "
+            "rep > 0.2 AS repetitive, "
+            "NOT (n < 50 OR n > 100000 OR mwl < 3.0 OR mwl > 10.0 "
+            "OR nstop = 0 OR rep > 0.2) AS keep "
+            "FROM (SELECT doc_id, len(t) AS n, "
+            "CAST(length(text) - (len(t) - 1) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS mwl, "
+            "len(list_filter(t, x -> x IN "
+            "('the','a','of','and','to','in','is','it'))) AS nstop, "
+            "CASE WHEN len(t) >= 2 THEN "
+            "CAST(1 AS DOUBLE) - CAST(len(list_distinct(bg)) AS DOUBLE) "
+            "/ CAST(len(bg) AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS rep "
+            "FROM (SELECT doc_id, text, t, list_transform(generate_series(1, len(t)-1), "
+            "i -> t[i] || ' ' || t[i+1]) AS bg "
+            "FROM (SELECT doc_id, text, string_split(text,' ') AS t FROM documents))) "
+            "ORDER BY doc_id"
         ),
         "dedup_clusters_with_exact": (
             _closure_sql(

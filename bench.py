@@ -94,6 +94,7 @@ def main() -> None:
         "contaminated_docs",
         "url_dedup",
         "pii_scrubbed",
+        "gopher_filter",
         # the north rule's generalized suffix-array substring pass
         "suffix_array_pair_spans",
     ]

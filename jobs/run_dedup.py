@@ -44,6 +44,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--max-bucket-size", type=int, default=256)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument(
+        "--retention-output",
+        default=None,
+        help="optional path: per-cluster keep/drop decisions "
+        "(url, cluster_id, is_kept — one kept member per cluster, longest "
+        "extracted text first, url tiebreak)",
+    )
+    p.add_argument(
         "--suffix-array-group",
         default=None,
         metavar="SQL_EXPR",
@@ -90,6 +97,17 @@ def main(argv: list[str] | None = None) -> None:
     res.clusters.write.mode("overwrite").parquet(args.output)
     if args.pairs_output:
         res.pairs.write.mode("overwrite").parquet(args.pairs_output)
+    if args.retention_output:
+        from pyspark.sql import functions as F
+
+        from video_duplicate_finder_python_spark.operators.retention import (
+            cluster_retention,
+        )
+
+        docs = pages.select("url", F.length("text").alias("n_chars"))
+        cluster_retention(res.clusters, docs).write.mode("overwrite").parquet(
+            args.retention_output
+        )
     wall = time.monotonic() - t0
 
     summary = {

@@ -245,6 +245,41 @@ def main() -> None:
         rep_plan,
     )
 
+    # 7. round-5 web ops: URL canonicalization, PII scrubbing, and the
+    #    composite gopher filter are pure-JVM rewrite chains — no Python
+    #    eval node may appear in any of their plans
+    from video_duplicate_finder_python_spark.functions.pii import (
+        pii_counts,
+        scrub_pii,
+    )
+    from video_duplicate_finder_python_spark.functions.textstats import gopher_flags
+    from video_duplicate_finder_python_spark.functions.urlnorm import canonicalize_url
+
+    url_df = d.select(
+        F.concat(
+            F.lit("HTTP://Ex.COM:80/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?utm_a=1&id=2#f"),
+        ).alias("url")
+    )
+    canon_plan = (
+        url_df.select(canonicalize_url(F.col("url")).alias("c"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check("urlnorm: UDF-free JVM plan", "EvalPython" not in canon_plan, canon_plan)
+    pc = pii_counts(F.col("text"))
+    pii_plan = (
+        d.select(scrub_pii(F.col("text")).alias("s"), *[v.alias(k) for k, v in pc.items()])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check("pii: UDF-free JVM plan", "EvalPython" not in pii_plan, pii_plan)
+    gf = gopher_flags(F.col("text"))
+    gopher_plan = (
+        d.select(*[v.alias(k) for k, v in gf.items()])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check("gopher_flags: UDF-free JVM plan", "EvalPython" not in gopher_plan, gopher_plan)
+
     print()
     if failures:
         print(f"{len(failures)} PLAN VIOLATIONS: {failures}")

@@ -101,3 +101,23 @@ def test_salted_plan_windows_per_salt(spark):
     )
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan
+
+
+def test_salted_broadcast_fallback_matches(spark):
+    """max_collected_hot=0 forces the broadcast-join routing (the >64-hot-
+    keys fallback); outputs must match the literal-predicate path."""
+    rows = [(1, f"u{i:03d}") for i in range(40)] + [(2, "x"), (2, "y")]
+    df = spark.createDataFrame(rows, ["key", "url"])
+
+    def run(**kw):
+        pairs, dropped, _ = bucket_pairs(
+            df, key_cols=["key"], max_bucket_size=8,
+            salt_threshold=10, n_salts=4, **kw,
+        )
+        return sorted((r["url_a"], r["url_b"]) for r in pairs.collect()), int(
+            dropped.first()[0] or 0
+        )
+
+    lit_pairs, lit_drops = run()
+    bc_pairs, bc_drops = run(max_collected_hot=0)
+    assert bc_pairs == lit_pairs and bc_drops == lit_drops

@@ -1,0 +1,74 @@
+"""Cluster retention policy + composite Gopher-style quality filter."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from video_duplicate_finder_python_spark.functions.textstats import gopher_flags
+from video_duplicate_finder_python_spark.operators.retention import cluster_retention
+
+
+def test_cluster_retention_keeps_exactly_one_per_cluster(spark):
+    clusters = spark.createDataFrame(
+        [("u1", "c1"), ("u2", "c1"), ("u3", "c1"), ("u4", "c2"), ("u5", "c2")],
+        ["url", "cluster_id"],
+    )
+    docs = spark.createDataFrame(
+        [("u1", 100), ("u2", 300), ("u3", 300), ("u4", 50), ("u5", 10)],
+        ["url", "n_chars"],
+    )
+    got = {
+        r["url"]: r["is_kept"]
+        for r in cluster_retention(clusters, docs).collect()
+    }
+    # c1: u2 and u3 tie on n_chars=300 -> url ascending keeps u2
+    assert got == {"u1": False, "u2": True, "u3": False, "u4": True, "u5": False}
+
+
+def test_cluster_retention_custom_order(spark):
+    clusters = spark.createDataFrame([("a", "c"), ("b", "c")], ["url", "cluster_id"])
+    docs = spark.createDataFrame([("a", 10), ("b", 99)], ["url", "n_chars"])
+    got = {
+        r["url"]: r["is_kept"]
+        for r in cluster_retention(
+            clusters, docs, order_by=[F.col("url").asc()]
+        ).collect()
+    }
+    assert got == {"a": True, "b": False}
+
+
+def test_gopher_flags(spark):
+    # varied per-sentence tokens so no 2-gram ever repeats (a fixed
+    # sentence repeated 8x is *correctly* flagged repetitive)
+    long_clean = " ".join(
+        f"the w{i}a quick b{i} of word{i} and item{i}" for i in range(12)
+    )
+    repetitive = "the " + "spam ham " * 40  # duplicate 2-grams dominate
+    short = "the tiny one"
+    tiny_words = "a b c d " * 20 + "the end"  # mean word len < 3
+    rows = [
+        ("long_clean", long_clean),
+        ("repetitive", repetitive),
+        ("short", short),
+        ("tiny_words", tiny_words),
+    ]
+    df = spark.createDataFrame(rows, ["name", "text"])
+    flags = gopher_flags(F.col("text"))
+    got = {
+        r["name"]: r.asDict()
+        for r in df.select(
+            "name", *[flags[k].alias(k) for k in flags]
+        ).collect()
+    }
+    assert got["long_clean"]["keep"] is True
+    assert got["repetitive"]["repetitive"] is True
+    assert got["repetitive"]["keep"] is False
+    assert got["short"]["too_short"] is True
+    assert got["tiny_words"]["bad_word_len"] is True
+    for name in got:
+        expect_keep = not any(
+            got[name][k]
+            for k in ("too_short", "too_long", "bad_word_len", "no_stopwords",
+                      "repetitive")
+        )
+        assert got[name]["keep"] is expect_keep

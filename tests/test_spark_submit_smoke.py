@@ -69,6 +69,7 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
             "--input", str(inp),
             "--output", str(out),
             "--checkpoint-dir", str(ckpt),
+            "--retention-output", str(tmp_path / "retention"),
         ],
         capture_output=True,
         text=True,
@@ -93,6 +94,16 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     got = dict(got_df[["url", "cluster_id"]].values)
     assert got == expected
     assert summary["stages"]["clusters"]["rows"] == len(expected)
+
+    # 5. retention output: exactly one kept member per cluster
+    ret = duckdb.sql(
+        f"SELECT cluster_id, sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS kept, "
+        f"count(*) AS members FROM '{tmp_path}/retention/*.parquet' "
+        "GROUP BY cluster_id"
+    ).df()
+    assert len(ret) > 0
+    assert (ret["kept"] == 1).all()
+    assert set(got_df["cluster_id"]) == set(ret["cluster_id"])
 
 
 if __name__ == "__main__":

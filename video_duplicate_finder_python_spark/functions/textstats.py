@@ -75,6 +75,40 @@ def repetition_score(text: Column) -> Column:
     return F.when(n >= 2, frac).otherwise(F.lit(0.0))
 
 
+def gopher_flags(
+    text: Column,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_rep_frac: float = 0.2,
+) -> dict[str, Column]:
+    """Composite Gopher-style document filter (Rae et al. 2021's rule
+    family; published heuristics, from-scratch expressions): per-rule
+    boolean flags plus the combined ``keep``. Every rule is an integer
+    comparison or a single IEEE divide over integer counts, so the DuckDB
+    oracle computes bit-identical booleans.
+
+    Mean word length uses the single-space tokenization the rest of the
+    engine uses: ``(n_chars - (n_tokens - 1)) / n_tokens`` (total chars
+    minus separators, per token)."""
+    n = F.size(F.split(text, " ")).cast("bigint")
+    mean_wl = (F.length(text) - (n - F.lit(1))).cast("double") / n.cast("double")
+    flags = {
+        "too_short": n < F.lit(min_tokens),
+        "too_long": n > F.lit(max_tokens),
+        "bad_word_len": (mean_wl < F.lit(min_mean_word_len))
+        | (mean_wl > F.lit(max_mean_word_len)),
+        "no_stopwords": _stop_hits(text, STOPWORDS_EN) == F.lit(0),
+        "repetitive": repetition_score(text) > F.lit(max_rep_frac),
+    }
+    keep = F.lit(True)
+    for c in flags.values():
+        keep = keep & ~c
+    flags["keep"] = keep
+    return flags
+
+
 def lang_guess(text: Column) -> Column:
     """Stopword-vote language ID: argmax of (en, de, fr) hit counts, 'und'
     when all are zero; ties break en > de > fr (CASE order)."""

@@ -48,6 +48,7 @@ def bucket_pairs(
     persist: bool = False,
     salt_threshold: int | None = None,
     n_salts: int = 16,
+    max_collected_hot: int = 64,
 ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """Emit candidate pairs from rows sharing ``key_cols``.
 
@@ -63,6 +64,19 @@ def bucket_pairs(
     Choose it ≥ ``max_bucket_size`` and small enough that one task
     comfortably sorts ``salt_threshold`` rows (the cold-path partition
     bound); 64k is a sane default at web scale.
+
+    Hot-key discovery is one EAGER map-side-combined aggregation per call
+    (an AQE-style runtime statistic, not a data scan into the driver: the
+    result is bounded by rows/threshold and truncated at
+    ``max_collected_hot + 1``). When the hot set is empty — the normal
+    case on a healthy corpus — the emitted plan is byte-identical to the
+    unsalted shape, so salting costs exactly one counting pass over the
+    banded input and nothing downstream. A non-empty hot set ≤
+    ``max_collected_hot`` routes by literal key predicates (pushed to the
+    scan); a larger one falls back to broadcast-join routing. The earlier
+    always-broadcast shape re-scanned the banded input for the sizes
+    aggregate AND both join branches — measured +19 s on the 300k-doc
+    candidates stage at local[4] even with zero hot keys.
 
     ``persist=True`` caches the ranked bucket table (MEMORY_AND_DISK) so
     that running the ``pairs`` action and the ``dropped`` action doesn't
@@ -90,19 +104,36 @@ def bucket_pairs(
     else:
         sizes = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bsz"))
         hot_keys = sizes.where(F.col("_bsz") > salt_threshold).select(*key_cols)
-        cold = df.join(F.broadcast(hot_keys), key_cols, "left_anti")
-        hot = df.join(F.broadcast(hot_keys), key_cols, "left_semi")
-        # hot buckets have > salt_threshold >= 2 members by construction —
-        # no singleton filter needed; quota keeps the per-salt url-ordered
-        # prefix, total kept <= n_salts * quota <= max_bucket_size
-        quota = max(1, max_bucket_size // n_salts)
-        ws = Window.partitionBy(*key_cols, "_salt").orderBy(id_col)
-        hot_ranked = (
-            hot.withColumn("_salt", F.pmod(F.xxhash64(id_col), F.lit(n_salts)))
-            .withColumn("_rn", F.row_number().over(ws))
-            .select(*keep_cols, "_rn", F.lit(quota).alias("_cap"))
-        )
-        ranked = rank_unsalted(cold, max_bucket_size).unionByName(hot_ranked)
+        hot_rows = hot_keys.limit(max_collected_hot + 1).collect()
+        if not hot_rows:
+            ranked = rank_unsalted(df, max_bucket_size)
+        else:
+            if len(hot_rows) <= max_collected_hot:
+                # literal-predicate routing: pushed to the scan, no joins
+                def _match(row):
+                    cond = F.lit(True)
+                    for k in key_cols:
+                        cond = cond & (F.col(k) == F.lit(row[k]))
+                    return cond
+
+                is_hot = _match(hot_rows[0])
+                for row in hot_rows[1:]:
+                    is_hot = is_hot | _match(row)
+                cold, hot = df.where(~is_hot), df.where(is_hot)
+            else:  # hot set too large to inline — broadcast-join routing
+                cold = df.join(F.broadcast(hot_keys), key_cols, "left_anti")
+                hot = df.join(F.broadcast(hot_keys), key_cols, "left_semi")
+            # hot buckets have > salt_threshold >= 2 members by
+            # construction — no singleton filter needed; quota keeps the
+            # per-salt url-ordered prefix, kept <= n_salts*quota <= cap
+            quota = max(1, max_bucket_size // n_salts)
+            ws = Window.partitionBy(*key_cols, "_salt").orderBy(id_col)
+            hot_ranked = (
+                hot.withColumn("_salt", F.pmod(F.xxhash64(id_col), F.lit(n_salts)))
+                .withColumn("_rn", F.row_number().over(ws))
+                .select(*keep_cols, "_rn", F.lit(quota).alias("_cap"))
+            )
+            ranked = rank_unsalted(cold, max_bucket_size).unionByName(hot_ranked)
 
     cached = None
     if persist:
