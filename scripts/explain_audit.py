@@ -226,10 +226,18 @@ def main() -> None:
     tfidf_plan = (
         tfidf_top_terms(d)._jdf.queryExecution().executedPlan().toString()
     )
+    # round-6 flip (VERDICT r5 #4): the df join must NOT be an
+    # unconditional broadcast — a 100 TB crawl's raw vocabulary is
+    # billions of terms. The logical plan must carry no broadcast hint
+    # (AQE size-gates the broadcast at runtime instead).
+    tfidf_logical = (
+        tfidf_top_terms(d)._jdf.queryExecution().optimizedPlan().toString()
+    )
     check(
-        "tfidf: UDF-free, df side broadcast-joined",
-        "EvalPython" not in tfidf_plan and "BroadcastHashJoin" in tfidf_plan,
-        tfidf_plan,
+        "tfidf: UDF-free, no forced broadcast hint on the df join",
+        "EvalPython" not in tfidf_plan
+        and "strategy=broadcast" not in tfidf_logical,
+        tfidf_logical,
     )
     rep_plan = (
         d.select(repetition_score(F.col("text")).alias("r"))
@@ -279,6 +287,30 @@ def main() -> None:
         ._jdf.queryExecution().executedPlan().toString()
     )
     check("gopher_flags: UDF-free JVM plan", "EvalPython" not in gopher_plan, gopher_plan)
+
+    # 8. retention must never sort a whole cluster in one task: the winner
+    #    comes from a map-side-combinable min_by aggregate, so the plan may
+    #    not contain a Window node (round-6 fix, VERDICT r5 #2)
+    from video_duplicate_finder_python_spark.operators.retention import (
+        cluster_retention,
+    )
+
+    clusters_df = d.select(
+        F.col("doc_id").cast("string").alias("url"), F.lit("c0").alias("cluster_id")
+    )
+    docs_for_ret = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.length("text").alias("n_chars"),
+    )
+    ret_plan = (
+        cluster_retention(clusters_df, docs_for_ret)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "retention: no per-cluster Window sort (min_by aggregate instead)",
+        "Window" not in ret_plan and "partial_min_by" in ret_plan,
+        ret_plan,
+    )
 
     print()
     if failures:

@@ -31,10 +31,33 @@ def test_cluster_retention_custom_order(spark):
     got = {
         r["url"]: r["is_kept"]
         for r in cluster_retention(
-            clusters, docs, order_by=[F.col("url").asc()]
+            clusters, docs, rank_key=F.col("url")
         ).collect()
     }
     assert got == {"a": True, "b": False}
+
+
+def test_cluster_retention_mega_cluster_no_single_task_sort(spark):
+    # skew guard (VERDICT r5 #2): exact-dup star edges are NOT capped, so a
+    # boilerplate page crawled 10^8 times is ONE cluster — the winner must
+    # come from a map-side-combinable aggregate, never a row_number window
+    # that sorts the whole cluster in one task.
+    n = 100_000
+    clusters = spark.range(n).select(
+        F.format_string("u%07d", F.col("id")).alias("url"),
+        F.lit("mega").alias("cluster_id"),
+    )
+    docs = spark.range(n).select(
+        F.format_string("u%07d", F.col("id")).alias("url"),
+        # u0000000 has the longest text -> unique winner
+        (F.lit(100) + (F.col("id") == 0).cast("int")).alias("n_chars"),
+    )
+    out = cluster_retention(clusters, docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # no per-cluster sort anywhere in the plan
+    kept = out.where("is_kept").collect()
+    assert [r["url"] for r in kept] == ["u0000000"]
+    assert out.count() == n
 
 
 def test_gopher_flags(spark):

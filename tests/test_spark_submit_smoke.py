@@ -70,6 +70,12 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
             "--output", str(out),
             "--checkpoint-dir", str(ckpt),
             "--retention-output", str(tmp_path / "retention"),
+            # round-6 (VERDICT r5 #7): the opt-in 4th candidate source runs
+            # through the packaged artifact too — host-grouped generalized
+            # suffix array; output must still be the exact oracle
+            # clustering (the suffix pass adds only true >=min_len-span
+            # pairs, which the CDC source already covers on this corpus)
+            "--suffix-array-group", "parse_url(url, 'HOST')",
         ],
         capture_output=True,
         text=True,

@@ -207,7 +207,7 @@ def test_candidate_adapter_counts_drops(spark):
         suffix_max_docs_per_group=3,
     )
     pairs, dropped, cached = suffix_array_candidates(df, cfg)
-    assert cached is None
+    assert cached == []
     got = {(r["url_a"], r["url_b"]): r["lcs_hint"] for r in pairs.collect()}
     assert set(got) == {
         ("https://h/00", "https://h/01"),

@@ -110,3 +110,73 @@ def test_repetition_score_matches_python_oracle(spark):
     assert got[4] == 0.0 and got[5] == 0.0
     # "spam ham" ×3 interleaved: 5 bigrams, 2 distinct → 0.6
     assert got[6] == 0.6
+
+
+# ---------------------------------------------------------------------------
+# SQL-reproducible SimHash (functions/simhash_sql.py) — the cross-engine
+# verifiable twin of the production blake2b SimHash path
+# ---------------------------------------------------------------------------
+def test_simhash_sql_matches_duckdb_brute_force(spark):
+    import duckdb
+
+    from video_duplicate_finder_python_spark.functions.simhash_sql import (
+        simhash_sql_oracle,
+        simhash_sql_pairs,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy cat again and again"),  # near 0
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact 0
+        (3, "completely different words about spark partitions and shuffles"),
+        (4, "another unrelated sentence mentioning minhash bands and rows"),
+        (5, "the quick brown fox leaps over the lazy dog again and again"),  # near 0
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_sql_pairs(docs).orderBy("doc_a", "doc_b").collect()
+    ]
+    con = duckdb.connect()
+    con.register("documents", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    want = [tuple(r) for r in con.sql(simhash_sql_oracle()).fetchall()]
+    assert got == want
+    # the planted exact pair must be present at hamming 0
+    assert (0, 2, 0) in got
+
+
+def test_simhash_sql_pigeonhole_recall_guarantee(spark):
+    """Every pair within the Hamming threshold MUST be emitted (pigeonhole:
+    6 chunks catch hamming <= 5) — compare against a brute-force pass over
+    the signatures themselves."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from video_duplicate_finder_python_spark.functions.simhash_sql import (
+        simhash60,
+        simhash_sql_pairs,
+    )
+
+    docs = spark.range(40).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.concat(
+            F.lit("shared prefix tokens for everyone then w"),
+            (F.col("id") % 7).cast("string"),
+            F.lit(" and w"),
+            (F.col("id") % 11).cast("string"),
+        ).alias("text"),
+    )
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select("doc_id", simhash60(F.col("text")).alias("sig")).collect()
+    }
+    want = {
+        (a, b)
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 5
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in simhash_sql_pairs(docs).collect()
+    }
+    assert got == want and want  # non-vacuous

@@ -15,7 +15,9 @@ URL_CASES = [
     ("https://Example.com:443/page/", "https://example.com/page"),
     ("http://example.com/page?utm_campaign=x", "http://example.com/page"),
     ("http://example.com/page?utm_campaign=x&b=2", "http://example.com/page?b=2"),
-    ("http://example.com/?ref=hn", "http://example.com"),
+    # `ref` is NOT stripped by default (content-bearing on real sites,
+    # ADVICE r5); callers opt in via tracking_params
+    ("http://example.com/?ref=hn", "http://example.com?ref=hn"),
     ("http://example.com/", "http://example.com"),
     ("http://example.com", "http://example.com"),
     ("  http://example.com/a//  ", "http://example.com/a"),
@@ -33,6 +35,17 @@ def test_canonicalize_url_battery(spark):
     df = spark.createDataFrame([(u,) for u, _ in URL_CASES], ["url"])
     got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
     assert got == [want for _, want in URL_CASES]
+
+
+def test_canonicalize_url_custom_tracking_params(spark):
+    """Sites whose `ref` is genuinely a tracker can opt in per call."""
+    from video_duplicate_finder_python_spark.functions.urlnorm import TRACKING_PARAMS
+
+    df = spark.createDataFrame([("http://example.com/?ref=hn&id=2",)], ["url"])
+    got = df.select(
+        canonicalize_url(F.col("url"), tracking_params=TRACKING_PARAMS + "|ref")
+    ).first()[0]
+    assert got == "http://example.com?id=2"
 
 
 def test_canonicalize_url_idempotent(spark):

@@ -17,7 +17,6 @@ dropped, counted by the caller via row deltas) and batches stay columnar.
 from __future__ import annotations
 
 from collections.abc import Iterator
-from hashlib import blake2b
 
 import numpy as np
 import pandas as pd
@@ -39,10 +38,18 @@ N_FEATURES = 16
 
 def _fake_decode(data: bytes) -> tuple[int, int, np.ndarray]:
     """Deterministic stand-in for a real image/audio decoder: stable
-    pseudo-dimensions and a 16-dim byte-histogram-ish feature vector."""
-    digest = blake2b(data, digest_size=8).digest()
-    width = 64 + digest[0] % 192
-    height = 64 + digest[1] % 192
+    pseudo-dimensions and a 16-dim byte-histogram-ish feature vector.
+
+    The pseudo-dimensions are a Knuth multiplicative hash of the byte
+    LENGTH (not a cryptographic hash of the bytes) on purpose: every
+    operation is exact 64-bit integer arithmetic that a SQL oracle can
+    replay from ``octet_length(media)``, so the driver's DuckDB
+    cross-check covers this mapInPandas path end-to-end
+    (__spark_entry__.oracle_sql, round-6 upgrade from rows-only). The
+    feature vector stays byte-content-sensitive via the histogram."""
+    h = (len(data) * 2654435761) % 4294967296
+    width = 64 + h % 192
+    height = 64 + (h // 192) % 192
     arr = np.frombuffer(data, dtype=np.uint8)
     if arr.size == 0:
         feats = np.zeros(N_FEATURES, dtype=np.float32)

@@ -20,9 +20,10 @@ rewrite; the DuckDB twin lives in __spark_entry__.oracle_sql):
 3. lowercase the ``scheme://host[:port]`` prefix (path/query untouched)
 4. strip default ports (``http://h:80`` -> ``http://h``, ``https://h:443``
    -> ``https://h``)
-5. drop tracking query parameters (``utm_*``, ``fbclid``, ``gclid``,
-   ``ref``), then repair the separator chain (first ``&`` after a
-   stripped leading ``?`` becomes ``?``; dangling ``?``/``&`` dropped)
+5. drop tracking query parameters (``utm_*``, ``fbclid``, ``gclid`` by
+   default; caller-extensible), then repair the separator chain (first
+   ``&`` after a stripped leading ``?`` becomes ``?``; dangling
+   ``?``/``&`` dropped)
 6. collapse ``/+?`` to ``?`` and strip trailing slashes when there is no
    query (``/path/`` == ``/path``, host root ``/`` == host)
 
@@ -36,12 +37,19 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# query parameters that never change page identity
-TRACKING_PARAMS = r"utm_[A-Za-z0-9_]*|fbclid|gclid|ref"
+# Query parameters that never change page identity. Conservative default:
+# bare `ref` was dropped in round 6 (ADVICE r5) — it is content-bearing on
+# many real sites (GitHub `?ref=<branch>`, newsletter routing), and a
+# canonicalizer that conflates those pages would make retention drop real
+# content. Callers with a known-tracking `ref` convention can pass their
+# own set via ``tracking_params``.
+TRACKING_PARAMS = r"utm_[A-Za-z0-9_]*|fbclid|gclid"
 
 
-def canonicalize_url(url: Column) -> Column:
-    """Canonical surface form of ``url`` (see module docstring)."""
+def canonicalize_url(url: Column, tracking_params: str = TRACKING_PARAMS) -> Column:
+    """Canonical surface form of ``url`` (see module docstring).
+    ``tracking_params`` is the RE2 alternation of query-parameter names to
+    strip (step 5)."""
     u = F.trim(url)
     # 2. fragment
     u = F.regexp_replace(u, r"#.*$", "")
@@ -52,7 +60,7 @@ def canonicalize_url(url: Column) -> Column:
     u = F.regexp_replace(u, r"^(http://[^/:?]+):80([/?].*)?$", r"$1$2")
     u = F.regexp_replace(u, r"^(https://[^/:?]+):443([/?].*)?$", r"$1$2")
     # 5. tracking params (drop match incl. its leading separator, then repair)
-    u = F.regexp_replace(u, r"[?&](" + TRACKING_PARAMS + r")=[^&#]*", "")
+    u = F.regexp_replace(u, r"[?&](" + tracking_params + r")=[^&#]*", "")
     u = F.regexp_replace(u, r"^([^?]+)&", r"$1?")
     u = F.regexp_replace(u, r"[?&]$", "")
     # 6. trailing slashes

@@ -49,13 +49,16 @@ def bucket_pairs(
     salt_threshold: int | None = None,
     n_salts: int = 16,
     max_collected_hot: int = 64,
-) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
     """Emit candidate pairs from rows sharing ``key_cols``.
 
     Returns ``(pairs, dropped, cached)`` where ``pairs`` has columns
     ``url_a, url_b`` (``url_a < url_b``) plus ``<c>_a / <c>_b`` for every
-    carry column, and ``dropped`` is a 1-row DataFrame with the count of
-    bucket members beyond the cap (a skew metric, SURVEY.md §4).
+    carry column, ``dropped`` is a 1-row DataFrame with the count of
+    bucket members beyond the cap (a skew metric, SURVEY.md §4), and
+    ``cached`` is the list of persisted handles the caller must
+    ``unpersist()`` after running both actions (empty when
+    ``persist=False``).
 
     ``salt_threshold``: buckets larger than this are ranked per
     ``(key, salt)`` instead of per key (see module docstring) so no single
@@ -70,8 +73,10 @@ def bucket_pairs(
     result is bounded by rows/threshold and truncated at
     ``max_collected_hot + 1``). When the hot set is empty — the normal
     case on a healthy corpus — the emitted plan is byte-identical to the
-    unsalted shape, so salting costs exactly one counting pass over the
-    banded input and nothing downstream. A non-empty hot set ≤
+    unsalted shape, so salting costs one counting pass over the banded
+    input (which, with ``persist=True``, also materializes the cache the
+    ranking window then reads — see below) and nothing downstream. A
+    non-empty hot set ≤
     ``max_collected_hot`` routes by literal key predicates (pushed to the
     scan); a larger one falls back to broadcast-join routing. The earlier
     always-broadcast shape re-scanned the banded input for the sizes
@@ -81,15 +86,21 @@ def bucket_pairs(
     ``persist=True`` caches the ranked bucket table (MEMORY_AND_DISK) so
     that running the ``pairs`` action and the ``dropped`` action doesn't
     execute the explode+window shuffle twice — Spark does not reuse shuffle
-    output across separately-triggered jobs. The caller owns the returned
-    ``cached`` handle and must ``unpersist()`` it after both actions ran
-    (``cached`` is None when ``persist=False``). The cache is the banded
-    table (≈ rows × bands × ~24 B) and spills to disk, so it stays viable
-    at cluster scale; the alternative is accepting a 2× recompute.
+    output across separately-triggered jobs. With ``salt_threshold`` also
+    set, the *input* ``df`` is persisted first, so the eager hot-key sizes
+    pass and the ranking window both read the banded rows from cache
+    instead of each re-running the upstream band-explode lineage (the
+    sizes pass doubles as the cache-materializing job — net extra cost of
+    salting drops from one full recompute to ~zero). The caller owns every
+    handle in the returned ``cached`` list and must ``unpersist()`` them
+    after both actions ran. The caches are banded tables (≈ rows × bands ×
+    ~24 B) and spill to disk, so they stay viable at cluster scale; the
+    alternative is accepting a 2× recompute.
     """
     carry_cols = carry_cols or []
     keep_cols = [*key_cols, id_col, *carry_cols]
     w = Window.partitionBy(*key_cols).orderBy(id_col)
+    caches: list[DataFrame] = []
 
     def rank_unsalted(part: DataFrame, cap: int) -> DataFrame:
         return (
@@ -102,6 +113,9 @@ def bucket_pairs(
     if salt_threshold is None:
         ranked = rank_unsalted(df, max_bucket_size)
     else:
+        if persist:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            caches.append(df)
         sizes = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bsz"))
         hot_keys = sizes.where(F.col("_bsz") > salt_threshold).select(*key_cols)
         hot_rows = hot_keys.limit(max_collected_hot + 1).collect()
@@ -109,11 +123,18 @@ def bucket_pairs(
             ranked = rank_unsalted(df, max_bucket_size)
         else:
             if len(hot_rows) <= max_collected_hot:
-                # literal-predicate routing: pushed to the scan, no joins
+                # literal-predicate routing: pushed to the scan, no joins.
+                # eqNullSafe so NULL-keyed rows (never hot: a NULL key can't
+                # exceed the threshold under groupBy, which buckets NULLs
+                # together) route to the COLD branch instead of vanishing
+                # from both (`col == lit` is NULL for NULL inputs, and both
+                # where(is_hot) and where(~is_hot) drop NULL predicates) —
+                # consistent with the unsalted window path and the
+                # broadcast left_anti fallback, which both keep NULL keys.
                 def _match(row):
                     cond = F.lit(True)
                     for k in key_cols:
-                        cond = cond & (F.col(k) == F.lit(row[k]))
+                        cond = cond & F.col(k).eqNullSafe(F.lit(row[k]))
                     return cond
 
                 is_hot = _match(hot_rows[0])
@@ -135,10 +156,9 @@ def bucket_pairs(
             )
             ranked = rank_unsalted(cold, max_bucket_size).unionByName(hot_ranked)
 
-    cached = None
     if persist:
         ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
-        cached = ranked
+        caches.append(ranked)
     kept = ranked.filter(F.col("_rn") <= F.col("_cap"))
     dropped = ranked.filter(F.col("_rn") > F.col("_cap")).select(
         F.count(F.lit(1)).alias("dropped_bucket_members")
@@ -159,4 +179,4 @@ def bucket_pairs(
         .where(F.col("url_a") < F.col("url_b"))
         .drop(*key_cols)
     )
-    return pairs, dropped, cached
+    return pairs, dropped, caches

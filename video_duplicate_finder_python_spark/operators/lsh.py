@@ -42,7 +42,7 @@ def minhash_band_candidates(
     cfg: DedupConfig,
     persist: bool = False,
     dedup: bool = True,
-) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
     """→ ``(pairs(url_a, url_b), dropped_metric, cached)``.
     ``persist``/``cached`` semantics per bucket_join.bucket_pairs.
 

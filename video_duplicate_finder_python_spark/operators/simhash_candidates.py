@@ -23,7 +23,7 @@ def simhash_candidates(
     cfg: DedupConfig,
     persist: bool = False,
     dedup: bool = True,
-) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
     """→ ``(pairs(url_a, url_b, hamming), dropped_metric, cached)``.
     The pipeline keeps the default ``dedup=True`` — a pair can collide in
     several pigeonhole chunks, and per-source dedup shrinks the union

@@ -22,7 +22,7 @@ def substring_candidates(
     cfg: DedupConfig,
     persist: bool = False,
     dedup: bool = True,
-) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
     """``signatures(url, fingerprints)`` → ``(pairs, dropped, cached)``.
     The pipeline keeps the default ``dedup=True`` — a pair sharing several
     CDC chunks collides once per chunk, and per-source dedup shrinks the

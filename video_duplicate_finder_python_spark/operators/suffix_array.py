@@ -399,7 +399,7 @@ def suffix_array_pairs(
 
 def suffix_array_candidates(
     rep_docs: DataFrame, cfg
-) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
     """Pipeline candidate-source adapter (same ``(pairs, dropped, cached)``
     contract as lsh/simhash/substring): groups ``rep_docs(url, text)`` by
     ``cfg.suffix_group_expr`` and emits ``(url_a, url_b, lcs_hint)`` — the
@@ -417,5 +417,5 @@ def suffix_array_candidates(
     return (
         pairs.select("url_a", "url_b", F.col("lcs_len").alias("lcs_hint")),
         dropped,
-        None,
+        [],
     )

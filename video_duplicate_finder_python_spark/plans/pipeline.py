@@ -255,8 +255,7 @@ class DedupPipeline:
             )
             unioned = tagged if unioned is None else unioned.unionByName(tagged)
             drops_df = drop if drops_df is None else drops_df.unionByName(drop)
-            if cached is not None:
-                caches.append(cached)
+            caches.extend(cached)
         cands = unioned.groupBy("url_a", "url_b").agg(
             F.collect_set("source").alias("sources"),
             F.max("lcs_hint").alias("lcs_hint"),
