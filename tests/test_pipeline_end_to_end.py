@@ -159,3 +159,26 @@ def test_stage_metrics_emitted(pipeline_result):
         "simhash_dropped_members",
         "substring_dropped_members",
     }
+
+
+def test_merged_candidates_equal_legacy_per_source(spark, corpus, pipeline_result):
+    """The round-6 single-shuffle candidate stage must be a pure plan
+    optimization: identical verified pairs (including per-pair source
+    tags) and identical clusters vs the legacy per-source DAG."""
+    from video_duplicate_finder_python_spark import DedupConfig, DedupPipeline
+    from video_duplicate_finder_python_spark.corpus import pages_spark_df
+
+    legacy = DedupPipeline(
+        spark, DedupConfig(merged_candidates=False)
+    ).run(pages_spark_df(spark, corpus))
+
+    def pair_map(res):
+        return {
+            (r["url_a"], r["url_b"]): (
+                tuple(sorted(r["sources"])), r["is_dup"], r["jaccard"]
+            )
+            for r in res.pairs.collect()
+        }
+
+    assert pair_map(legacy) == pair_map(pipeline_result)
+    assert _cluster_map(legacy.clusters) == _cluster_map(pipeline_result.clusters)

@@ -49,6 +49,8 @@ def bucket_pairs(
     salt_threshold: int | None = None,
     n_salts: int = 16,
     max_collected_hot: int = 64,
+    keep_keys: list[str] | None = None,
+    dropped_group_by: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
     """Emit candidate pairs from rows sharing ``key_cols``.
 
@@ -59,6 +61,14 @@ def bucket_pairs(
     ``cached`` is the list of persisted handles the caller must
     ``unpersist()`` after running both actions (empty when
     ``persist=False``).
+
+    ``keep_keys``: key columns to RETAIN in the pairs output (e.g. a
+    source tag when several candidate spaces share one call — the
+    merged-candidates path); they are equal on both sides of a pair by
+    construction, so they come back un-suffixed. ``dropped_group_by``:
+    group the dropped-members metric by these key columns instead of the
+    default single global count (callers must treat absent groups as 0 —
+    an empty groupBy emits no rows, unlike the global aggregate).
 
     ``salt_threshold``: buckets larger than this are ranked per
     ``(key, salt)`` instead of per key (see module docstring) so no single
@@ -160,9 +170,15 @@ def bucket_pairs(
         ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
         caches.append(ranked)
     kept = ranked.filter(F.col("_rn") <= F.col("_cap"))
-    dropped = ranked.filter(F.col("_rn") > F.col("_cap")).select(
-        F.count(F.lit(1)).alias("dropped_bucket_members")
-    )
+    over_cap = ranked.filter(F.col("_rn") > F.col("_cap"))
+    if dropped_group_by:
+        dropped = over_cap.groupBy(*dropped_group_by).agg(
+            F.count(F.lit(1)).alias("dropped_bucket_members")
+        )
+    else:
+        dropped = over_cap.select(
+            F.count(F.lit(1)).alias("dropped_bucket_members")
+        )
 
     left = kept.select(
         *key_cols,
@@ -174,9 +190,10 @@ def bucket_pairs(
         F.col(id_col).alias("url_b"),
         *[F.col(c).alias(f"{c}_b") for c in carry_cols],
     )
+    drop_keys = [k for k in key_cols if k not in (keep_keys or [])]
     pairs = (
         left.join(right, key_cols)
         .where(F.col("url_a") < F.col("url_b"))
-        .drop(*key_cols)
+        .drop(*drop_keys)
     )
     return pairs, dropped, caches

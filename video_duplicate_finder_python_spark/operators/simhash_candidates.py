@@ -18,16 +18,10 @@ from ..config import DedupConfig
 from .bucket_join import bucket_pairs
 
 
-def simhash_candidates(
-    signatures: DataFrame,
-    cfg: DedupConfig,
-    persist: bool = False,
-    dedup: bool = True,
-) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
-    """→ ``(pairs(url_a, url_b, hamming), dropped_metric, cached)``.
-    The pipeline keeps the default ``dedup=True`` — a pair can collide in
-    several pigeonhole chunks, and per-source dedup shrinks the union
-    shuffle (measured; see lsh.minhash_band_candidates)."""
+def explode_simhash_chunks(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """``signatures(url, simhash, ...)`` →
+    ``(url, simhash, chunk_id, chunk_value)`` — one row per pigeonhole
+    chunk (literal column array, no shuffle)."""
     chunks = cfg.simhash_chunks
     width = cfg.simhash_bits // chunks
     mask = (1 << width) - 1
@@ -40,9 +34,22 @@ def simhash_candidates(
         )
         for j in range(chunks)
     ]
-    chunked = signatures.select(
+    return signatures.select(
         "url", "simhash", F.explode(F.array(*chunk_structs)).alias("_c")
     ).select("url", "simhash", "_c.chunk_id", "_c.chunk_value")
+
+
+def simhash_candidates(
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    persist: bool = False,
+    dedup: bool = True,
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
+    """→ ``(pairs(url_a, url_b, hamming), dropped_metric, cached)``.
+    The pipeline keeps the default ``dedup=True`` — a pair can collide in
+    several pigeonhole chunks, and per-source dedup shrinks the union
+    shuffle (measured; see lsh.minhash_band_candidates)."""
+    chunked = explode_simhash_chunks(signatures, cfg)
 
     pairs, dropped, cached = bucket_pairs(
         chunked,

@@ -39,6 +39,7 @@ from ..config import DedupConfig
 from ..functions.signatures import make_shingles_udf
 from ..functions.text import extract_text_col
 from ..operators.signature_stage import compute_signatures
+from ..operators.bucket_join import bucket_pairs
 from ..operators.connected_components import connected_components
 from ..operators.exact import exact_edges_from, exact_representatives
 from ..operators.lsh import minhash_band_candidates
@@ -213,16 +214,132 @@ class DedupPipeline:
         "suffix_array": "suffix_array",
     }
 
+    def _keyed_candidate_rows(self, signatures: DataFrame) -> DataFrame:
+        """Union of every signature-derived candidate space as
+        ``(url, src, key, sig)`` rows — the merged-candidates input. Keys
+        from different spaces live in one long column, separated by the
+        ``src`` tag (which is part of the bucket key downstream):
+        minhash → the band hash (band id already seeds it), simhash →
+        xxhash64(chunk_id, chunk_value), suffix → the CDC fingerprint.
+        ``sig`` carries the 64-bit SimHash for simhash rows (the
+        post-join Hamming filter needs it) and is NULL elsewhere."""
+        from ..operators.lsh import explode_bands
+        from ..operators.simhash_candidates import explode_simhash_chunks
+
+        cfg = self.cfg
+        null_sig = F.lit(None).cast("long")
+        parts = []
+        if "minhash" in cfg.candidate_sources:
+            parts.append(
+                explode_bands(signatures, cfg).select(
+                    "url",
+                    F.lit("minhash").alias("src"),
+                    F.col("band_hash").alias("key"),
+                    null_sig.alias("sig"),
+                )
+            )
+        if "simhash" in cfg.candidate_sources:
+            parts.append(
+                explode_simhash_chunks(signatures, cfg).select(
+                    "url",
+                    F.lit("simhash").alias("src"),
+                    F.xxhash64("chunk_id", "chunk_value").alias("key"),
+                    F.col("simhash").alias("sig"),
+                )
+            )
+        if "suffix" in cfg.candidate_sources:
+            parts.append(
+                signatures.select(
+                    "url",
+                    F.lit("suffix").alias("src"),
+                    F.explode("fingerprints").alias("key"),
+                    null_sig.alias("sig"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _candidates_merged(
+        self, signatures: DataFrame, rep_docs: DataFrame
+    ) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
+        """One bucket shuffle for all signature-derived sources (round 6):
+        vs the per-source shape, 3 ranking windows + 3 per-source dedup
+        shuffles collapse into 1 window + 1 pair join, the final groupBy
+        dedups across sources AND within-source multiplicity in the same
+        pass, and the eager hot-key statistic is computed once over the
+        union instead of once per source. Same tags, same caps, same
+        salting — the bucket key is (src, key) so spaces never mix."""
+        cfg = self.cfg
+        rows = self._keyed_candidate_rows(signatures)
+        pairs, dropped, caches = bucket_pairs(
+            rows,
+            key_cols=["src", "key"],
+            carry_cols=["sig"],
+            keep_keys=["src"],
+            dropped_group_by=["src"],
+            max_bucket_size=cfg.max_bucket_size,
+            persist=True,
+            salt_threshold=cfg.skew_salt_threshold,
+            n_salts=cfg.skew_n_salts,
+        )
+        hamming_ok = (F.col("src") != F.lit("simhash")) | (
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            <= cfg.simhash_hamming_max
+        )
+        tagged = pairs.where(hamming_ok).select(
+            "url_a",
+            "url_b",
+            F.col("src").alias("source"),
+            F.lit(None).cast("int").alias("lcs_hint"),
+        )
+        label_map = F.create_map(
+            *[F.lit(x) for kv in self._DROP_LABEL.items() for x in kv]
+        )
+        drops_df = dropped.select(
+            label_map[F.col("src")].alias("src"),
+            F.col("dropped_bucket_members").alias("n"),
+        )
+        if "suffix_array" in cfg.candidate_sources:
+            sa_pairs, sa_dropped, sa_caches = suffix_array_candidates(rep_docs, cfg)
+            tagged = tagged.unionByName(
+                sa_pairs.select(
+                    "url_a",
+                    "url_b",
+                    F.lit("suffix_array").alias("source"),
+                    F.col("lcs_hint").cast("int").alias("lcs_hint"),
+                )
+            )
+            drops_df = drops_df.unionByName(
+                sa_dropped.select(
+                    F.lit(self._DROP_LABEL["suffix_array"]).alias("src"),
+                    F.col("dropped_bucket_members").alias("n"),
+                )
+            )
+            caches.extend(sa_caches)
+        cands = tagged.groupBy("url_a", "url_b").agg(
+            F.collect_set("source").alias("sources"),
+            F.max("lcs_hint").alias("lcs_hint"),
+        )
+        return cands, drops_df, caches
+
     def _candidates(
         self, signatures: DataFrame, rep_docs: DataFrame
     ) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
         """→ (candidates, drops_df, cached_handles).
 
-        Each source's windowed bucket table is persisted so the skew-drop
-        counters come from ONE extra job over cached partitions instead of
-        N jobs that each re-ran the band-explode + window shuffle (the
-        round-1 shape executed the most expensive lineage up to 4×)."""
+        Dispatches to the merged single-shuffle shape by default
+        (``cfg.merged_candidates``); the legacy per-source shape below is
+        kept for A/B comparison and for callers that consume the sources
+        separately. In the legacy shape each source's windowed bucket
+        table is persisted so the skew-drop counters come from ONE extra
+        job over cached partitions instead of N jobs that each re-ran the
+        band-explode + window shuffle (the round-1 shape executed the most
+        expensive lineage up to 4×)."""
         cfg = self.cfg
+        if cfg.merged_candidates:
+            return self._candidates_merged(signatures, rep_docs)
         # per-source dedup=True is deliberate: a near-dup pair collides in
         # up to `bands` bands (and `chunks` simhash chunks), so deduping
         # inside each source shrinks the union-groupBy shuffle by that
@@ -289,7 +406,15 @@ class DedupPipeline:
             self.JOB_GROUP, "near-duplicate detection pipeline", True
         )
         self._cancelled = False
-        token = input_token if input_token is not None else self.input_digest(pages)
+        if input_token is not None:
+            token = input_token
+        elif self.ckpt.base_dir is None:
+            # ephemeral (localCheckpoint) mode persists nothing, so there is
+            # no stale checkpoint the digest could invalidate — skip the
+            # full-corpus digest scan (one whole pages pass per run)
+            token = "ephemeral"
+        else:
+            token = self.input_digest(pages)
 
         # "docs-v2": the docs checkpoint schema gained content_hash; the
         # fingerprint bump invalidates pre-existing checkpoints written
@@ -321,11 +446,21 @@ class DedupPipeline:
 
         def collect_drops() -> dict:
             # one job over the persisted bucket tables (vs three re-runs of
-            # the band/window lineages in the round-1 shape)
-            return {
-                f"{r['src']}_dropped_members": int(r["n"] or 0)
-                for r in drops_df.collect()
+            # the band/window lineages in the round-1 shape). Zero-init:
+            # the merged path's grouped metric emits no row for a source
+            # with no drops, and a healthy corpus should still record 0
+            # explicitly for every enabled source.
+            out = {
+                f"{self._DROP_LABEL[s]}_dropped_members": 0
+                for s in cfg.candidate_sources
             }
+            out.update(
+                {
+                    f"{r['src']}_dropped_members": int(r["n"] or 0)
+                    for r in drops_df.collect()
+                }
+            )
+            return out
 
         try:
             candidates = self._stage(
