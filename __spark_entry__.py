@@ -941,7 +941,11 @@ def q_cdc_fingerprints(spark, sf_dir):
 
 
 def q_knn_cosine_q0(spark, sf_dir):
-    # float cosine variant (no SQL oracle: float fold order is engine-specific)
+    # float cosine variant. Oracle-able despite float math: F.aggregate is a
+    # LEFT fold with 0.0 init, and 0.0 + x == x bit-exactly, so DuckDB's
+    # list_reduce (left fold seeded with the first element) reproduces the
+    # exact same double-addition order; the final /sqrt(na*nb) is single
+    # IEEE-correctly-rounded ops — bit-identical across engines.
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0).select(
         F.col("embedding").cast("array<double>").alias("qe")
@@ -1500,6 +1504,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, CAST(list_sum(list_transform("
             "  generate_series(1, len(ee)), i -> ee[i] * qe[i])) AS BIGINT) AS dot_q0 "
             "FROM ez, qz ORDER BY dot_q0 DESC, vec_id LIMIT 10"
+        ),
+        "knn_cosine_q0": (
+            # bit-exact float oracle: list_reduce is a left fold seeded with
+            # the first element, identical to Spark's F.aggregate left fold
+            # with 0.0 init (0.0 + x == x); products, sqrt and divide are
+            # single correctly-rounded IEEE ops
+            "WITH qz AS (SELECT CAST(embedding AS DOUBLE[]) AS qe "
+            "  FROM embeddings WHERE vec_id = 0), "
+            "ez AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee "
+            "  FROM embeddings WHERE vec_id <> 0) "
+            "SELECT vec_id, "
+            "list_reduce(list_transform(generate_series(1, len(ee)), "
+            "  i -> ee[i] * qe[i]), (a, b) -> a + b) "
+            "/ sqrt(list_reduce(list_transform(ee, x -> x * x), (a, b) -> a + b) "
+            "  * list_reduce(list_transform(qe, x -> x * x), (a, b) -> a + b)) "
+            "AS cosine FROM ez, qz ORDER BY cosine DESC, vec_id LIMIT 10"
         ),
         "knn_dot_q0": (
             "WITH qz AS (SELECT list_transform(embedding, "
