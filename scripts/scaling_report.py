@@ -59,6 +59,11 @@ def main() -> None:
     samples = load(sys.argv[2:])
     if not samples:
         raise SystemExit("no samples")
+    # the FIRST samples file is the pre-registered 3-per-level block
+    # (BENCH/SCALING_R6_PLAN.md); its standalone best-of is disclosed in
+    # the report so the initial pre-registered outcome stays visible even
+    # after quiet-window appends join the pool
+    block = load(sys.argv[2:3])
     members = {s["n_cluster_members"] for s in samples}
     if len(members) != 1:
         raise SystemExit(f"cluster members diverged across samples: {members}")
@@ -79,6 +84,13 @@ def main() -> None:
     stage_min_eff = (
         sum(stage_min[n_low].values()) / sum(stage_min[n_high].values())
     ) / factor
+    block_by = {c: [s for s in block if s["cpus"] == c] for c in levels}
+    block_eff = None
+    if all(block_by.get(c) for c in levels):
+        block_eff = (
+            max(s["docs_per_sec"] for s in block_by[n_high])
+            / max(s["docs_per_sec"] for s in block_by[n_low])
+        ) / factor
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
 
     def sample_row(s: dict) -> str:
@@ -116,6 +128,17 @@ rather than the job's scalability.
 | local[{n_high}] ({factor:.0f}N) | {best[n_high]['wall_s']:.1f} | {best[n_high]['docs_per_sec']:.1f} | {', '.join(sample_row(s) for s in by[n_high])} |
 
 **Scaling efficiency (thr@{n_high} / thr@{n_low}) / {factor:.0f} = {eff:.3f}** (bar: >= 0.8)
+""" + (
+        f"""
+Disclosure: the initial pre-registered 3-per-level block
+(`BENCH/SCALING_R6_PLAN.md`, the first {len(block)} samples above) read
+**{block_eff:.3f}** standalone; every later sample was appended in a
+load-gated quiet window under policy item 3 and is listed above — the
+pool was never pruned.
+"""
+        if block_eff is not None and len(block) < len(samples)
+        else ""
+    ) + f"""
 
 Per-stage wall seconds of the best whole sample at each level:
 
