@@ -1,0 +1,124 @@
+"""WARC source tests: framing round-trip, gzip members, record filtering,
+truncation tolerance, and pipeline equivalence (WARC-read pages produce the
+same clusters as the in-memory pages table)."""
+
+from __future__ import annotations
+
+import datetime as dt
+from pathlib import Path
+
+from video_duplicate_finder_python_spark.sources.warc import (
+    build_warc_bytes,
+    iter_warc_records,
+    read_warc,
+    split_http_payload,
+)
+
+
+def _corpus_records(corpus, lo: int, hi: int) -> list[dict]:
+    rows = corpus.pages.iloc[lo:hi]
+    return [
+        {
+            "url": r.url,
+            # corpus timestamps are tz-aware UTC; WARC-Date is Zulu and the
+            # parser emits naive UTC (what Spark's TimestampType stores)
+            "warc_ts": r.warc_ts.to_pydatetime().astimezone(dt.timezone.utc).replace(tzinfo=None),
+            "html": bytes(r.html),
+            "lang": r.lang,
+        }
+        for r in rows.itertuples()
+    ]
+
+
+def _write_fixture(tmp_path: Path, corpus) -> Path:
+    """240 corpus pages over 3 files: plain, gzip, plain — mixed layouts in
+    one directory, as a real crawl bucket would hold."""
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "seg-00.warc").write_bytes(build_warc_bytes(_corpus_records(corpus, 0, 80)))
+    (d / "seg-01.warc.gz").write_bytes(
+        build_warc_bytes(_corpus_records(corpus, 80, 160), gzip_members=True)
+    )
+    (d / "seg-02.warc").write_bytes(build_warc_bytes(_corpus_records(corpus, 160, 240)))
+    return d
+
+
+def test_parser_roundtrip_plain_and_gzip(corpus):
+    recs = _corpus_records(corpus, 0, 25)
+    for gz in (False, True):
+        data = build_warc_bytes(recs, gzip_members=gz)
+        parsed = list(iter_warc_records(data))
+        assert len(parsed) == 25
+        for rec, (headers, payload) in zip(recs, parsed):
+            assert headers["warc-target-uri"] == rec["url"]
+            assert headers["warc-type"] == "response"
+            http, body = split_http_payload(payload)
+            assert body == rec["html"]
+            assert http["content-language"] == rec["lang"]
+
+
+def test_truncated_file_yields_good_prefix(corpus):
+    data = build_warc_bytes(_corpus_records(corpus, 0, 10))
+    cut = data[: len(data) - len(data) // 3]  # last record(s) mutilated
+    parsed = list(iter_warc_records(cut))
+    assert 0 < len(parsed) < 10
+    # every yielded record is intact
+    for headers, payload in parsed:
+        assert len(payload) == int(headers["content-length"])
+
+
+def test_non_response_and_non_html_records_skipped(spark, tmp_path):
+    ts = dt.datetime(2025, 1, 1)
+    html_rec = {"url": "https://a.example/x", "warc_ts": ts,
+                "html": b"<html><body><p>keep</p></body></html>", "lang": "en"}
+    data = build_warc_bytes([html_rec])
+    # warcinfo record (no target URI) + a request record, hand-framed
+    info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n")
+    req = (b"WARC/1.0\r\nWARC-Type: request\r\n"
+           b"WARC-Target-URI: https://a.example/x\r\n"
+           b"Content-Length: 4\r\n\r\nGET \r\n\r\n")
+    # a PDF response that html_only must drop
+    pdf_payload = (b"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n%PDF")
+    pdf = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://a.example/doc.pdf\r\n"
+           b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+           b"Content-Length: " + str(len(pdf_payload)).encode() + b"\r\n\r\n"
+           + pdf_payload + b"\r\n\r\n")
+    (tmp_path / "mix.warc").write_bytes(info + req + data + pdf)
+
+    out = read_warc(spark, str(tmp_path)).collect()
+    assert [r.url for r in out] == ["https://a.example/x"]
+    assert bytes(out[0].html) == html_rec["html"]
+    assert out[0].lang == "en"
+    assert out[0].warc_ts == ts
+
+    everything = read_warc(spark, str(tmp_path), html_only=False).collect()
+    assert {r.url for r in everything} == {
+        "https://a.example/x", "https://a.example/doc.pdf"
+    }
+
+
+def test_read_warc_matches_source_pages(spark, corpus, tmp_path):
+    d = _write_fixture(tmp_path, corpus)
+    got = read_warc(spark, str(d)).select("url", "warc_ts", "html", "lang")
+    got_rows = {r.url: r for r in got.collect()}
+    assert len(got_rows) == 240
+    for rec in _corpus_records(corpus, 0, 240):
+        r = got_rows[rec["url"]]
+        assert bytes(r.html) == rec["html"]
+        assert r.lang == rec["lang"]
+        assert r.warc_ts == rec["warc_ts"]
+
+
+def test_pipeline_on_warc_equals_pipeline_on_pages(spark, corpus, tmp_path, pipeline_result):
+    """End-to-end: the dedup DAG over WARC-read pages emits the exact same
+    cluster membership as over the in-memory pages table (conftest's
+    pipeline_result) — the source swap is semantics-free."""
+    from video_duplicate_finder_python_spark import DedupConfig, DedupPipeline
+
+    d = _write_fixture(tmp_path, corpus)
+    pages = read_warc(spark, str(d)).select("url", "warc_ts", "html", "lang")
+    res = DedupPipeline(spark, DedupConfig()).run(pages)
+    got = {(r.url, r.cluster_id) for r in res.clusters.collect()}
+    want = {(r.url, r.cluster_id) for r in pipeline_result.clusters.collect()}
+    assert got == want
