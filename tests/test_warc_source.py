@@ -122,3 +122,67 @@ def test_pipeline_on_warc_equals_pipeline_on_pages(spark, corpus, tmp_path, pipe
     got = {(r.url, r.cluster_id) for r in res.clusters.collect()}
     want = {(r.url, r.cluster_id) for r in pipeline_result.clusters.collect()}
     assert got == want
+
+
+def test_streaming_warc_ingest_incremental(spark, corpus, tmp_path):
+    """Landing WARC segments one at a time: each availableNow pass ingests
+    only the new files (tracked by the stream checkpoint) and the store's
+    signatures equal a batch compute over the same pages."""
+    from video_duplicate_finder_python_spark import DedupConfig
+    from video_duplicate_finder_python_spark.streaming.ingest import (
+        SignatureStore,
+        StreamingSignatureIngest,
+    )
+
+    src = tmp_path / "crawl_stream"
+    src.mkdir()
+    ckpt = str(tmp_path / "warc_ckpt")
+    store_dir = str(tmp_path / "warc_store")
+
+    (src / "seg-00.warc").write_bytes(build_warc_bytes(_corpus_records(corpus, 0, 60)))
+    ingest = StreamingSignatureIngest(spark, store_dir, DedupConfig())
+    q = ingest.start_warc(str(src), ckpt, available_now=True)
+    q.awaitTermination(180)
+    store = SignatureStore(spark, store_dir)
+    assert store.read().count() == 60
+
+    # a gzip segment lands later; only it is ingested on the next pass
+    (src / "seg-01.warc.gz").write_bytes(
+        build_warc_bytes(_corpus_records(corpus, 60, 100), gzip_members=True)
+    )
+    q2 = ingest.start_warc(str(src), ckpt, available_now=True)
+    q2.awaitTermination(180)
+    assert store.read().count() == 100
+    urls = {r.url for r in store.read().select("url").collect()}
+    assert urls == {rec["url"] for rec in _corpus_records(corpus, 0, 100)}
+
+
+# -- property: framing is Content-Length-delimited, not delimiter-scanned ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_payload = st.binary(min_size=0, max_size=300).map(
+    # plant adversarial boundary-looking bytes inside payloads
+    lambda b: b + b"\r\n\r\nWARC/1.0\r\n" if len(b) % 3 == 0 else b
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    payloads=st.lists(_payload, min_size=1, max_size=8),
+    gz=st.booleans(),
+)
+def test_warc_framing_roundtrip_property(payloads, gz):
+    ts = dt.datetime(2025, 3, 1, 12, 0, 0)
+    recs = [
+        {"url": f"https://p.example/{i}", "warc_ts": ts, "html": p, "lang": None}
+        for i, p in enumerate(payloads)
+    ]
+    data = build_warc_bytes(recs, gzip_members=gz)
+    parsed = list(iter_warc_records(data))
+    assert len(parsed) == len(recs)
+    for rec, (headers, payload) in zip(recs, parsed):
+        assert headers["warc-target-uri"] == rec["url"]
+        _, body = split_http_payload(payload)
+        assert body == rec["html"]

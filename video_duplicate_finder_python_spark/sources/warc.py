@@ -163,6 +163,30 @@ def _records_to_rows(file_path: str, data: bytes, html_only: bool):
         )
 
 
+def warc_files_to_pages(files: DataFrame, html_only: bool = True) -> DataFrame:
+    """``(path, content)`` binary-file rows → pages rows. Shared by the
+    batch reader below and the streaming crawl ingest
+    (``StreamingSignatureIngest.start_warc``): mapInPandas works
+    identically on batch and streaming DataFrames."""
+
+    def parse(batches):
+        import pandas as pd
+
+        cols = [
+            "url", "warc_ts", "html", "lang",
+            "content_type", "record_id", "source_file",
+        ]
+        for pdf in batches:
+            rows = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(_records_to_rows(path_, bytes(content), html_only))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.select("path", "content").mapInPandas(
+        parse, schema=WARC_PAGES_SCHEMA
+    )
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
@@ -181,22 +205,7 @@ def read_warc(
     reader = spark.read.format("binaryFile")
     if path_glob_filter is not None:
         reader = reader.option("pathGlobFilter", path_glob_filter)
-    files = reader.load(path).select("path", "content")
-
-    def parse(batches):
-        import pandas as pd
-
-        cols = [
-            "url", "warc_ts", "html", "lang",
-            "content_type", "record_id", "source_file",
-        ]
-        for pdf in batches:
-            rows = []
-            for path_, content in zip(pdf["path"], pdf["content"]):
-                rows.extend(_records_to_rows(path_, bytes(content), html_only))
-            yield pd.DataFrame(rows, columns=cols)
-
-    return files.mapInPandas(parse, schema=WARC_PAGES_SCHEMA)
+    return warc_files_to_pages(reader.load(path), html_only=html_only)
 
 
 # -- deterministic writer (test fixtures / round-trip evidence) --------------

@@ -451,3 +451,39 @@ class StreamingSignatureIngest:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+    def start_warc(
+        self,
+        input_path: str,
+        stream_checkpoint: str,
+        available_now: bool = True,
+        max_files_per_trigger: int = 4,
+    ):
+        """Continuous crawl ingestion: watch a directory for landing
+        ``.warc`` / ``.warc.gz`` files and upsert their pages' signatures
+        into the store — the streaming twin of ``sources/warc.read_warc``
+        (same mapInPandas parser via ``warc_files_to_pages``; the
+        binaryFile file-stream source tracks processed files in the stream
+        checkpoint, so a restart never re-ingests a segment). A crawler
+        drops finished segments into the bucket; each micro-batch is a
+        handful of whole files (WARC is not byte-splittable), parsed
+        map-only, then the O(delta) upsert of ``process_batch``."""
+        from ..sources.warc import warc_files_to_pages
+
+        files = (
+            self.spark.readStream.format("binaryFile")
+            # the binaryFile source's fixed schema, required explicitly by
+            # the streaming reader (batch infers it, streams must not)
+            .schema("path string, modificationTime timestamp, length long, content binary")
+            .option("pathGlobFilter", "*.warc*")
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .load(input_path)
+        )
+        pages = warc_files_to_pages(files).select("url", "html")
+        writer = (
+            pages.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", stream_checkpoint)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
