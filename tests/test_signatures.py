@@ -123,3 +123,34 @@ def test_batch_shingle_hashes_bit_identical():
         ref = shingle_hashes_np(t, 5, {})
         assert got.dtype == np.uint64
         assert got.tolist() == ref.tolist(), t
+
+
+def test_minhash_simhash_match_reference_formulations():
+    """The tiled/unpackbits kernels (round 6) must be bit-identical to the
+    textbook one-shot formulations they replaced — min over a column
+    partition == min over all columns; unpackbits('little') column j ==
+    (h >> j) & 1 — across sizes straddling the 512-shingle tile boundary."""
+    from video_duplicate_finder_python_spark.functions.signatures import (
+        EMPTY_SENTINEL,
+        simhash_of,
+    )
+
+    a_params, b_params = minhash_params(7, 128)
+    rng = np.random.default_rng(123)
+    shifts = np.arange(64, dtype=np.uint64)
+    for n in (0, 1, 2, 511, 512, 513, 1024, 1500, 4097):
+        h = rng.integers(0, 2**63, size=n, dtype=np.uint64) * 2 + 1
+        got_mh = minhash_of(h, a_params, b_params)
+        got_sim = simhash_of(h)
+        if n == 0:
+            assert (got_mh == EMPTY_SENTINEL).all() and got_sim == 0
+            continue
+        with np.errstate(over="ignore"):
+            vals = a_params[:, None] * h[None, :] + b_params[:, None]
+        ref_mh = (vals.min(axis=1) >> np.uint64(33)).astype(np.int32)
+        bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
+        maj = bits.sum(axis=0) * 2 >= h.size
+        packed = int((maj.astype(np.uint64) << shifts).sum(dtype=np.uint64))
+        ref_sim = packed - (1 << 64) if packed >= (1 << 63) else packed
+        assert got_mh.tolist() == ref_mh.tolist(), n
+        assert got_sim == ref_sim, n
