@@ -117,3 +117,30 @@ def test_cdc_spark_udf_parity_sf001(spark):
             cdc_fingerprints(text, cfg.cdc_window, cfg.cdc_mask_bits, cfg.cdc_min_chunk)
         )
         assert got[doc_id] == want, doc_id
+
+
+def test_rolling_hashes_match_one_pass_per_byte_formulation():
+    """The binary-doubling ladder (round 6) must reproduce the textbook
+    one-multiply-add-per-window-byte rolling hash bit-for-bit, across
+    window shapes (powers of two, odd, window == n)."""
+    import numpy as np
+
+    from video_duplicate_finder_python_spark.functions.fingerprint import (
+        _BASE,
+        _rolling_hashes,
+    )
+
+    rng = np.random.default_rng(11)
+    for n, window in [(48, 48), (49, 48), (777, 48), (8128, 48),
+                      (64, 64), (100, 7), (50, 5), (1000, 1), (63, 63)]:
+        data = rng.integers(0, 256, size=n, dtype=np.uint8)
+        got = _rolling_hashes(data, window)
+        d64 = data.astype(np.uint64)
+        ref = np.zeros(n - window + 1, dtype=np.uint64)
+        pw = np.uint64(1)
+        with np.errstate(over="ignore"):
+            for j in range(window - 1, -1, -1):
+                ref += d64[j : j + n - window + 1] * pw
+                pw = pw * _BASE
+        assert got.shape == ref.shape
+        assert (got == ref).all(), (n, window)
