@@ -186,3 +186,46 @@ def test_warc_framing_roundtrip_property(payloads, gz):
         assert headers["warc-target-uri"] == rec["url"]
         _, body = split_http_payload(payload)
         assert body == rec["html"]
+
+
+def test_gunzip_chunks_incremental_equivalence(corpus):
+    """The incremental member decompressor must reproduce the file exactly
+    under adversarially tiny output/input chunk sizes (forces every
+    max_length / unconsumed_tail / member-boundary code path), and a
+    truncated .warc.gz must still yield its good record prefix."""
+    from video_duplicate_finder_python_spark.sources.warc import _gunzip_chunks
+
+    recs = _corpus_records(corpus, 0, 40)
+    gz = build_warc_bytes(recs, gzip_members=True)
+    plain = build_warc_bytes(recs, gzip_members=False)
+    assert b"".join(_gunzip_chunks(gz)) == plain
+    assert b"".join(_gunzip_chunks(gz, max_out=7, in_chunk=11)) == plain
+    cut = list(iter_warc_records(gz[: len(gz) // 2]))
+    assert 0 < len(cut) < 40
+    for headers, payload in cut:
+        assert len(payload) == int(headers["content-length"])
+
+
+def test_warc_parse_memory_is_bounded_by_record_not_file():
+    """Parsing a .warc.gz must hold ~one record in memory, not the whole
+    decompressed file: 400 records / ~93 MB decompressed must peak under
+    30 MB of traced allocations (regression guard for the rolling-buffer
+    parser; the eager shape held compressed + fully-decompressed bytes)."""
+    import datetime as dt
+    import tracemalloc
+
+    big = [
+        {
+            "url": f"https://big.example/{i}",
+            "warc_ts": dt.datetime(2025, 1, 1),
+            "html": (f"<html>{'lorem ipsum ' * 20000}doc{i}</html>").encode(),
+        }
+        for i in range(400)
+    ]
+    data = build_warc_bytes(big, gzip_members=True)
+    tracemalloc.start()
+    n = sum(1 for _ in iter_warc_records(data))
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert n == 400
+    assert peak < 30e6, f"peak {peak/1e6:.1f} MB — rolling buffer regressed"

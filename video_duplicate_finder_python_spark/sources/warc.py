@@ -42,20 +42,48 @@ _CRLF = b"\r\n"
 _HDR_SEP = b"\r\n\r\n"
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a concatenation of gzip members (the .warc.gz layout:
-    one member per record). zlib exposes unused_data after each member,
-    so we loop until the tail is exhausted."""
-    out = []
-    buf = data
-    while buf:
-        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out.append(d.decompress(buf))
-        out.append(d.flush())
-        if not d.unused_data or d.unused_data == buf:
-            break
-        buf = d.unused_data
-    return b"".join(out)
+def _gunzip_chunks(
+    data: bytes, max_out: int = 1 << 20, in_chunk: int = 1 << 20
+) -> Iterator[bytes]:
+    """Incrementally decompress a concatenation of gzip members (the
+    .warc.gz layout: one member per record), yielding ≤ ``max_out``-byte
+    chunks. Never materializes the decompressed file: the caller's rolling
+    buffer holds ~one record, so a 1 GB crawl file costs compressed-size +
+    one-record memory instead of compressed + fully-decompressed (4-5x at
+    typical HTML ratios).
+
+    Input is fed in ``in_chunk`` slices of a zero-copy memoryview — feeding
+    the whole remaining tail per call looks equivalent but is quadratic
+    (zlib copies the uneaten input to ``unconsumed_tail`` on every
+    ``max_length``-limited call). ``flush()`` is deliberately never called:
+    at member end (``d.eof``) zlib leaves the post-member bytes in BOTH
+    ``unconsumed_tail`` and ``unused_data``, and ``flush()`` re-feeds the
+    former into the latter — the remainder doubles per member and a 200-
+    member file balloons exponentially. With ``max_length`` every output
+    byte is emitted by ``decompress`` itself, so there is nothing for
+    ``flush`` to return; ``unused_data`` captured at eof seeds the next
+    member."""
+    view = memoryview(data)
+    n = len(view)
+    pos = 0  # next unfed byte of the file
+    d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+    pending: bytes | memoryview = b""  # unconsumed input for this member
+    while True:
+        if not pending:
+            if pos >= n:
+                return  # clean end (after eof) or truncated final member
+            pending = view[pos : pos + in_chunk]
+            pos += len(pending)
+        out = d.decompress(pending, max_out)
+        pending = d.unconsumed_tail
+        if out:
+            yield out
+        if d.eof:
+            rest = d.unused_data  # bytes after member end within fed input
+            d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+            pending = rest
+        elif not out and not pending and pos >= n:
+            return  # truncated member: emit the good prefix only
 
 
 def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
@@ -64,25 +92,47 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
     ``headers`` maps lower-cased WARC header names to values; ``payload``
     is the raw Content-Length block (for response records: an HTTP
     response — status line, headers, body). Gzip input (magic 1f 8b) is
-    decompressed first. Malformed trailing garbage ends iteration rather
+    decompressed INCREMENTALLY against a rolling buffer that is trimmed
+    after every record, so peak memory is the (already-in-memory
+    binaryFile cell) compressed bytes + one record — not the whole
+    decompressed file. Malformed trailing garbage ends iteration rather
     than raising — a truncated crawl file should yield its good prefix.
     """
     if data[:2] == b"\x1f\x8b":
-        data = _gunzip_members(data)
+        chunks = _gunzip_chunks(data)
+    else:
+        view = memoryview(data)
+        chunks = (
+            view[i : i + (1 << 20)] for i in range(0, len(data), 1 << 20)
+        )
+    buf = bytearray()
+
+    def fill() -> bool:
+        for c in chunks:
+            buf.extend(c)
+            return True
+        return False
+
     pos = 0
-    n = len(data)
-    while pos < n:
+    while True:
         # tolerate inter-record padding / blank lines
-        while pos < n and data[pos : pos + 2] == _CRLF:
-            pos += 2
-        if pos >= n:
+        while True:
+            while len(buf) - pos < 2 and fill():
+                pass
+            if buf[pos : pos + 2] == _CRLF:
+                pos += 2
+            else:
+                break
+        while len(buf) - pos < 5 and fill():
+            pass
+        if len(buf) == pos:
             return
-        if not data[pos : pos + 5] == b"WARC/":
+        if not buf[pos : pos + 5] == b"WARC/":
             return  # not a record boundary: stop at the good prefix
-        hdr_end = data.find(_HDR_SEP, pos)
-        if hdr_end < 0:
-            return
-        header_block = data[pos:hdr_end].decode("utf-8", errors="replace")
+        while (hdr_end := buf.find(_HDR_SEP, pos)) < 0:
+            if not fill():
+                return
+        header_block = bytes(buf[pos:hdr_end]).decode("utf-8", errors="replace")
         lines = header_block.split("\r\n")
         headers: dict[str, str] = {}
         for line in lines[1:]:  # lines[0] is the WARC/1.x version line
@@ -94,11 +144,15 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
         except ValueError:
             return
         body_start = hdr_end + len(_HDR_SEP)
-        payload = data[body_start : body_start + length]
-        if len(payload) < length:
+        while len(buf) < body_start + length and fill():
+            pass
+        if len(buf) < body_start + length:
             return  # truncated record
-        yield headers, payload
-        pos = body_start + length
+        yield headers, bytes(buf[body_start : body_start + length])
+        # trim the consumed record so the rolling buffer stays ~one
+        # record deep regardless of file size
+        del buf[: body_start + length]
+        pos = 0
 
 
 def split_http_payload(payload: bytes) -> tuple[dict, bytes]:
