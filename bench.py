@@ -170,6 +170,34 @@ def main() -> None:
             ),
         }
 
+    # WARC ingest throughput (driver-side parser kernel: the per-task cost
+    # of sources/warc.py's streaming decompress + rolling-buffer framing;
+    # the Spark job around it is one map task per file, so per-file parser
+    # MB/s IS the scale number for crawl-container ingestion)
+    import datetime as dt
+
+    from video_duplicate_finder_python_spark.sources.warc import (
+        build_warc_bytes,
+        iter_warc_records,
+    )
+
+    warc_recs = [
+        {
+            "url": f"https://bench.example/{i}",
+            "warc_ts": dt.datetime(2025, 1, 1),
+            "html": (f"<html>{'lorem ipsum dolor ' * 12000}doc{i}</html>").encode(),
+        }
+        for i in range(300)
+    ]
+    warc_gz = build_warc_bytes(warc_recs, gzip_members=True)
+    decompressed_mb = sum(len(r["html"]) for r in warc_recs) / 2**20
+    warc_best = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        n_parsed = sum(1 for _ in iter_warc_records(warc_gz))
+        warc_best = min(warc_best, time.monotonic() - t0)
+    assert n_parsed == len(warc_recs)
+
     total = time.monotonic() - t_total0
     out = {
         "metric": "bench_total_wall",
@@ -180,6 +208,7 @@ def main() -> None:
         "cpus": cpus,
         "dedup_docs_per_sec": dedup["docs_per_sec"],
         "dedup_n_docs": dedup["n_docs"],
+        "warc_parse_mb_per_sec": round(decompressed_mb / warc_best, 1),
         **recalls,
     }
     print(json.dumps(out))

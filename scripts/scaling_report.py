@@ -77,8 +77,12 @@ def main() -> None:
     factor = n_high / n_low
     eff = (best[n_high]["docs_per_sec"] / best[n_low]["docs_per_sec"]) / factor
     stages = list(best[n_low]["stage_wall_s"])
+    for s in samples:  # refuse, don't fabricate: a sample missing a stage
+        missing = set(stages) ^ set(s["stage_wall_s"])  # would otherwise
+        if missing:  # contribute a silent 0.0 "minimum" to the diagnostic
+            raise SystemExit(f"stage keys differ across samples: {missing}")
     stage_min = {
-        c: {k: min(s["stage_wall_s"].get(k, 0.0) for s in by[c]) for k in stages}
+        c: {k: min(s["stage_wall_s"][k] for s in by[c]) for k in stages}
         for c in levels
     }
     stage_min_eff = (

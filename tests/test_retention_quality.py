@@ -95,3 +95,23 @@ def test_gopher_flags(spark):
                       "repetitive")
         )
         assert got[name]["keep"] is expect_keep
+
+
+def test_cluster_retention_null_n_chars_ranks_last(spark):
+    # a null-text page has n_chars = F.length(NULL) = NULL; it must LOSE
+    # to any real doc (the window formulation's n_chars.desc() is NULLS
+    # LAST — an unguarded struct-min would sort the NULL field FIRST and
+    # retain the empty doc). A cluster of only-null members still keeps
+    # exactly one (url tiebreak).
+    clusters = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("n", "c1"), ("x", "c2"), ("y", "c2")],
+        ["url", "cluster_id"],
+    )
+    docs = spark.createDataFrame(
+        [("a", 100), ("b", 50), ("n", None), ("x", None), ("y", None)],
+        "url string, n_chars int",
+    )
+    got = {
+        r["url"]: r["is_kept"] for r in cluster_retention(clusters, docs).collect()
+    }
+    assert got == {"a": True, "b": False, "n": False, "x": True, "y": False}

@@ -241,3 +241,32 @@ def test_singleton_groups_excluded_before_group_shuffle(spark):
 
     got = suffix_array_pairs(df.repartition(4), F.col("grp"), min_len=40).collect()
     assert [(r["url_a"], r["url_b"]) for r in got] == [("u00", "u01")]
+
+
+def test_suffix_array_only_config_runs_under_merged_default(spark):
+    """candidate_sources=("suffix_array",) with the round-6 default
+    merged_candidates=True must route to the per-source path instead of
+    crashing on an empty signature-source union (regression: IndexError
+    at plan-build time). The planted shared span must still cluster."""
+    from video_duplicate_finder_python_spark.config import DedupConfig
+    from video_duplicate_finder_python_spark.plans.pipeline import DedupPipeline
+
+    shared = "token " * 120  # 720 chars >= substring_min_len default 500
+    rows = [
+        (f"https://solo.example/{i}", f"<html><body>{shared} tail{i}</body></html>")
+        for i in range(4)
+    ] + [("https://solo.example/alone", "<html><body>unrelated text</body></html>")]
+    import datetime as dt
+
+    pages = spark.createDataFrame(
+        [(u, dt.datetime(2025, 1, 1), h.encode(), "en") for u, h in rows],
+        "url string, warc_ts timestamp, html binary, lang string",
+    )
+    cfg = DedupConfig(
+        candidate_sources=("suffix_array",),
+        suffix_group_expr="parse_url(url, 'HOST')",
+    )
+    assert cfg.merged_candidates  # the default this test guards
+    res = DedupPipeline(spark, cfg).run(pages)
+    members = {r["url"] for r in res.clusters.collect()}
+    assert members == {f"https://solo.example/{i}" for i in range(4)}

@@ -229,3 +229,34 @@ def test_warc_parse_memory_is_bounded_by_record_not_file():
     tracemalloc.stop()
     assert n == 400
     assert peak < 30e6, f"peak {peak/1e6:.1f} MB — rolling buffer regressed"
+
+
+def test_corrupt_gzip_member_yields_good_prefix(corpus):
+    """A bit-flipped byte mid-.warc.gz must end iteration at the good
+    prefix, not raise zlib.error out of mapInPandas (one bad file in a
+    10^5-file crawl would otherwise abort the whole ingest job)."""
+    recs = _corpus_records(corpus, 0, 30)
+    data = bytearray(build_warc_bytes(recs, gzip_members=True))
+    data[len(data) // 2] ^= 0xFF  # corrupt a mid-file member
+    parsed = list(iter_warc_records(bytes(data)))
+    assert 0 < len(parsed) < 30
+    for headers, payload in parsed:
+        assert len(payload) == int(headers["content-length"])
+    # garbage appended after the last member: full file parses
+    good = build_warc_bytes(recs, gzip_members=True)
+    parsed = list(iter_warc_records(good + b"\x1f\x8bGARBAGE"))
+    assert len(parsed) == 30
+
+
+def test_read_warc_ignores_in_progress_temp_files(spark, corpus, tmp_path):
+    """The default glob matches exact .warc/.warc.gz suffixes only: a
+    crawler's half-written x.warc.gz.tmp must not be ingested (the batch
+    reader would emit its good prefix; the streaming checkpoint would
+    then mark the file done forever — silent data loss on rename)."""
+    d = _write_fixture(tmp_path, corpus)
+    (d / "seg-03.warc.gz.tmp").write_bytes(
+        build_warc_bytes(_corpus_records(corpus, 0, 5), gzip_members=True)
+    )
+    (d / "seg-04.warc.part").write_bytes(b"WARC/1.0\r\n")
+    got = read_warc(spark, str(d)).select("url").distinct().count()
+    assert got == 240  # the 3 finished segments only, temp files unseen

@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.bucket_join import bucket_pairs
+from ..operators.simhash_candidates import explode_chunks
 
 SIMHASH_SQL_BITS = 60
 
@@ -92,23 +93,10 @@ def simhash_sql_pairs(
     generation caps + salts instead (operators/bucket_join.py)."""
     assert SIMHASH_SQL_BITS % n_chunks == 0, "n_chunks must divide 60"
     assert threshold <= n_chunks - 1, "pigeonhole needs threshold <= n_chunks - 1"
-    width = SIMHASH_SQL_BITS // n_chunks
-    mask = (1 << width) - 1
     sigs = docs.select(
         F.col(id_col).alias("url"), simhash60(F.col(text_col)).alias("sig")
     )
-    chunk_structs = [
-        F.struct(
-            F.lit(j).alias("chunk_id"),
-            F.shiftrightunsigned("sig", j * width)
-            .bitwiseAND(F.lit(mask).cast("bigint"))
-            .alias("chunk_value"),
-        )
-        for j in range(n_chunks)
-    ]
-    chunked = sigs.select(
-        "url", "sig", F.explode(F.array(*chunk_structs)).alias("_c")
-    ).select("url", "sig", "_c.chunk_id", "_c.chunk_value")
+    chunked = explode_chunks(sigs, "sig", SIMHASH_SQL_BITS, n_chunks)
     pairs, _dropped, _caches = bucket_pairs(
         chunked,
         key_cols=["chunk_id", "chunk_value"],

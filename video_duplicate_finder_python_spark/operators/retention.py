@@ -34,9 +34,18 @@ from pyspark.sql import functions as F
 def default_rank_key(id_col: str = "url") -> Column:
     """The default retention ranking: longest text wins, url ascending as
     the tiebreak — expressed as a struct to MINIMIZE (``-n_chars`` makes
-    "longest first" a minimization so strings need no order reversal)."""
+    "longest first" a minimization so strings need no order reversal).
+
+    NULL ``n_chars`` (e.g. ``F.length(text)`` of a null-text page) must
+    rank LAST, matching the window formulation this aggregate replaced
+    (``n_chars.desc()`` is NULLS LAST): in a struct comparison a NULL
+    field sorts FIRST ascending, so without the explicit null-flag field
+    a cluster containing one unextractable page would retain the empty
+    doc and drop the real content."""
     return F.struct(
-        (-F.col("n_chars")).alias("neg_n_chars"), F.col(id_col).alias("tiebreak")
+        F.col("n_chars").isNull().cast("int").alias("nulls_last"),
+        (-F.coalesce(F.col("n_chars"), F.lit(0))).alias("neg_n_chars"),
+        F.col(id_col).alias("tiebreak"),
     )
 
 

@@ -18,25 +18,43 @@ from ..config import DedupConfig
 from .bucket_join import bucket_pairs
 
 
-def explode_simhash_chunks(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """``signatures(url, simhash, ...)`` →
-    ``(url, simhash, chunk_id, chunk_value)`` — one row per pigeonhole
-    chunk (literal column array, no shuffle)."""
-    chunks = cfg.simhash_chunks
-    width = cfg.simhash_bits // chunks
+def explode_chunks(
+    df: DataFrame, sig_col: str, bits: int, n_chunks: int
+) -> DataFrame:
+    """Append ``(chunk_id, chunk_value)`` rows for the ``n_chunks`` equal
+    bit-slices of ``sig_col`` — the pigeonhole explode shared by the
+    production candidate source below and the cross-engine-verifiable
+    twin (functions/simhash_sql.py), so the chunk math can never drift
+    between them. Literal column array, no shuffle; all input columns
+    are carried through."""
+    width = bits // n_chunks
     mask = (1 << width) - 1
     chunk_structs = [
         F.struct(
             F.lit(j).alias("chunk_id"),
-            F.shiftrightunsigned("simhash", j * width)
+            F.shiftrightunsigned(sig_col, j * width)
             .bitwiseAND(F.lit(mask).cast("bigint"))
             .alias("chunk_value"),
         )
-        for j in range(chunks)
+        for j in range(n_chunks)
     ]
-    return signatures.select(
-        "url", "simhash", F.explode(F.array(*chunk_structs)).alias("_c")
-    ).select("url", "simhash", "_c.chunk_id", "_c.chunk_value")
+    return (
+        df.withColumn("_c", F.explode(F.array(*chunk_structs)))
+        .select("*", "_c.chunk_id", "_c.chunk_value")
+        .drop("_c")
+    )
+
+
+def explode_simhash_chunks(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """``signatures(url, simhash, ...)`` →
+    ``(url, simhash, chunk_id, chunk_value)`` — one row per pigeonhole
+    chunk (literal column array, no shuffle)."""
+    return explode_chunks(
+        signatures.select("url", "simhash"),
+        "simhash",
+        cfg.simhash_bits,
+        cfg.simhash_chunks,
+    )
 
 
 def simhash_candidates(

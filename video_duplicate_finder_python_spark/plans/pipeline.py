@@ -338,7 +338,12 @@ class DedupPipeline:
         band-explode + window shuffle (the round-1 shape executed the most
         expensive lineage up to 4×)."""
         cfg = self.cfg
-        if cfg.merged_candidates:
+        # the merged shape needs >=1 signature-derived source to seed the
+        # (src, key) union; a suffix_array-only (or empty) config routes
+        # to the per-source loop, which handles it
+        if cfg.merged_candidates and {"minhash", "simhash", "suffix"} & set(
+            cfg.candidate_sources
+        ):
             return self._candidates_merged(signatures, rep_docs)
         # per-source dedup=True is deliberate: a near-dup pair collides in
         # up to `bands` bands (and `chunks` simhash chunks), so deduping

@@ -74,7 +74,10 @@ def _gunzip_chunks(
                 return  # clean end (after eof) or truncated final member
             pending = view[pos : pos + in_chunk]
             pos += len(pending)
-        out = d.decompress(pending, max_out)
+        try:
+            out = d.decompress(pending, max_out)
+        except zlib.error:
+            return  # corrupt member (bit flip / garbage): good prefix only
         pending = d.unconsumed_tail
         if out:
             yield out
@@ -178,7 +181,13 @@ _TS_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})")
 
 
 def _parse_warc_date(value: str | None):
-    """WARC-Date (ISO 8601 Zulu) → naive UTC datetime, or None."""
+    """WARC-Date (ISO 8601 Zulu) → tz-aware UTC datetime, or None.
+
+    Tz-aware (not naive) so Arrow pins the instant regardless of
+    ``spark.sql.session.timeZone``: a naive datetime would be read as
+    session-local and shift every warc_ts by the session offset on
+    non-UTC sessions (the engine's own sessions pin UTC, but the source
+    must be correct under a caller's session too)."""
     import datetime as dt
 
     if not value:
@@ -186,7 +195,7 @@ def _parse_warc_date(value: str | None):
     m = _TS_RE.match(value)
     if not m:
         return None
-    return dt.datetime(*(int(g) for g in m.groups()))
+    return dt.datetime(*(int(g) for g in m.groups()), tzinfo=dt.timezone.utc)
 
 
 def _records_to_rows(file_path: str, data: bytes, html_only: bool):
@@ -245,7 +254,7 @@ def read_warc(
     spark: SparkSession,
     path: str,
     html_only: bool = True,
-    path_glob_filter: str | None = None,
+    path_glob_filter: str | None = "*.{warc,warc.gz}",
 ) -> DataFrame:
     """Read ``.warc`` / ``.warc.gz`` files under ``path`` into the pages
     table ``(url, warc_ts, html, lang, content_type, record_id,
@@ -255,6 +264,9 @@ def read_warc(
     One map task per file (binaryFile never splits — required, see module
     docstring), no shuffle; predicate ``html_only`` drops non-HTML
     responses inside the Python batch before any bytes reach the table.
+    The default glob matches EXACT ``.warc`` / ``.warc.gz`` suffixes so
+    in-progress temp names (``x.warc.gz.tmp``) in a live crawl bucket are
+    never read; pass ``path_glob_filter=None`` to read every file.
     """
     reader = spark.read.format("binaryFile")
     if path_glob_filter is not None:

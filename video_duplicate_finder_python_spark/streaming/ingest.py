@@ -458,6 +458,7 @@ class StreamingSignatureIngest:
         stream_checkpoint: str,
         available_now: bool = True,
         max_files_per_trigger: int = 4,
+        path_glob_filter: str = "*.{warc,warc.gz}",
     ):
         """Continuous crawl ingestion: watch a directory for landing
         ``.warc`` / ``.warc.gz`` files and upsert their pages' signatures
@@ -467,7 +468,15 @@ class StreamingSignatureIngest:
         checkpoint, so a restart never re-ingests a segment). A crawler
         drops finished segments into the bucket; each micro-batch is a
         handful of whole files (WARC is not byte-splittable), parsed
-        map-only, then the O(delta) upsert of ``process_batch``."""
+        map-only, then the O(delta) upsert of ``process_batch``.
+
+        The glob default matches EXACT ``.warc`` / ``.warc.gz`` suffixes
+        — a ``*.warc*`` wildcard would also match in-progress temp names
+        (``x.warc.gz.tmp``, ``x.warc.part``); the file-stream checkpoint
+        marks whatever it reads as processed forever, so ingesting a
+        half-written file is silent permanent data loss for its tail.
+        Crawlers must still land finished segments atomically (write to
+        a non-matching temp name, then rename)."""
         from ..sources.warc import warc_files_to_pages
 
         files = (
@@ -475,7 +484,7 @@ class StreamingSignatureIngest:
             # the binaryFile source's fixed schema, required explicitly by
             # the streaming reader (batch infers it, streams must not)
             .schema("path string, modificationTime timestamp, length long, content binary")
-            .option("pathGlobFilter", "*.warc*")
+            .option("pathGlobFilter", path_glob_filter)
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .load(input_path)
         )
