@@ -1,0 +1,223 @@
+"""Perceptual-hash media dedup: kernel exactness, robustness, and a
+driver-side brute-force oracle for the Spark pipeline.
+
+Reference semantics under test: regular-interval frame sampling, per-frame
+dHash+pHash, 0.3*count_ratio + 0.7*hamming_similarity scoring at the 0.8
+threshold (/root/reference/src/core/hasher.py:30-124, comparator.py:10).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from video_duplicate_finder_python_spark.functions.phash import (
+    FRAME_BYTES,
+    FRAME_SIDE,
+    HASH_SIDE,
+    dhash64_batch,
+    frame_hashes_for_docs,
+    phash64_batch,
+    sample_frames,
+)
+from video_duplicate_finder_python_spark.operators.media_dedup import (
+    media_dup_groups,
+    media_dup_pairs,
+    media_frame_hashes,
+)
+
+
+def _rng(seed=1234):
+    return np.random.default_rng(seed)
+
+
+def _naive_dct2(x: np.ndarray) -> np.ndarray:
+    """Quadruple-loop DCT-II (scipy type-2 norm=None convention)."""
+    n = x.shape[0]
+    k = np.arange(n)
+    basis = 2 * np.cos(np.pi * np.outer(k, 2 * k + 1) / (2 * n))
+    return basis @ x @ basis.T
+
+
+class TestKernel:
+    def test_phash_matches_naive_dct(self):
+        frame = _rng().integers(0, 256, size=(FRAME_SIDE, FRAME_SIDE), dtype=np.uint8)
+        low = _naive_dct2(frame.astype(np.float64))[:HASH_SIDE, :HASH_SIDE].ravel()
+        bits = low > np.median(low)
+        expected = int(
+            np.packbits(bits).view(">u8")[0].astype(np.uint64).view(np.int64)
+        )
+        assert int(phash64_batch(frame[None])[0]) == expected
+
+    def test_dhash_matches_naive(self):
+        frame = _rng(5).integers(0, 256, size=(FRAME_SIDE, FRAME_SIDE), dtype=np.uint8)
+        f = frame.astype(np.float64)
+        rows = f.reshape(HASH_SIDE, FRAME_SIDE // HASH_SIDE, FRAME_SIDE).mean(axis=1)
+        starts = (np.arange(HASH_SIDE + 1) * FRAME_SIDE) // (HASH_SIDE + 1)
+        widths = np.diff(np.append(starts, FRAME_SIDE))
+        cols = np.add.reduceat(rows, starts, axis=1) / widths
+        bits = (cols[:, 1:] > cols[:, :-1]).ravel()
+        expected = int(
+            np.packbits(bits).view(">u8")[0].astype(np.uint64).view(np.int64)
+        )
+        assert int(dhash64_batch(frame[None])[0]) == expected
+
+    def test_sampling_mirrors_reference(self):
+        # frame_count = len // 1024 (>=1); n = min(10, frame_count);
+        # frame i starts at int(i/n*frame_count)*1024 — hasher.py:30-36
+        data = _rng(7).integers(0, 256, size=25 * FRAME_BYTES, dtype=np.uint8).tobytes()
+        frames = sample_frames(data)
+        assert frames.shape == (10, FRAME_SIDE, FRAME_SIDE)
+        raw = np.frombuffer(data, dtype=np.uint8)
+        for i in range(10):
+            off = int(i / 10 * 25) * FRAME_BYTES
+            assert (frames[i].ravel() == raw[off : off + FRAME_BYTES]).all()
+        # short docs: always >=1 frame, zero-padded tail
+        short = sample_frames(b"xy")
+        assert short.shape[0] == 1 and short.ravel()[2:].sum() == 0
+
+    def test_determinism_and_locality(self):
+        data = _rng(9).integers(0, 256, size=20_000, dtype=np.uint8).tobytes()
+        c1, p1, d1 = frame_hashes_for_docs([data])
+        c2, p2, d2 = frame_hashes_for_docs([data])
+        assert (p1 == p2).all() and (d1 == d2).all()
+        # perceptual locality: flipping 5 bytes inside frame 0's window
+        # moves only frame 0's hashes, and only by a few bits
+        mutated = bytearray(data)
+        for i in range(100, 105):
+            mutated[i] ^= 0xFF
+        _, p3, d3 = frame_hashes_for_docs([bytes(mutated)])
+        ham = [
+            bin((int(a) ^ int(b)) & (2**64 - 1)).count("1") for a, b in zip(p1, p3)
+        ]
+        assert ham[0] <= 8 and all(h == 0 for h in ham[1:])
+
+    def test_batched_equals_per_doc(self):
+        rng = _rng(11)
+        docs = [
+            rng.integers(0, 256, size=rng.integers(1, 30_000), dtype=np.uint8).tobytes()
+            for _ in range(17)
+        ]
+        counts, ph, dh = frame_hashes_for_docs(docs)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        for i, doc in enumerate(docs):
+            c, p, d = frame_hashes_for_docs([doc])
+            assert c[0] == counts[i]
+            assert (p == ph[offs[i] : offs[i + 1]]).all()
+            assert (d == dh[offs[i] : offs[i + 1]]).all()
+
+
+def _media_corpus(n_base=24, seed=77):
+    """(url, html-bytes) rows: base videos + exact dups + near dups."""
+    rng = _rng(seed)
+    rows = []
+    for i in range(n_base):
+        size = int(rng.integers(4, 20)) * FRAME_BYTES + int(rng.integers(0, 512))
+        data = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+        rows.append((f"http://media.test/v{i:03d}", data))
+    # exact duplicates of the first 4
+    for i in range(4):
+        rows.append((f"http://mirror.test/v{i:03d}", rows[i][1]))
+    # near duplicates of the next 4: flip a handful of bytes in 2 windows
+    for i in range(4, 8):
+        mutated = bytearray(rows[i][1])
+        for off in (10, 11, 12, FRAME_BYTES + 50, FRAME_BYTES + 51):
+            mutated[off] ^= 0x5A
+        rows.append((f"http://neardup.test/v{i:03d}", bytes(mutated)))
+    return rows
+
+
+def _brute_pairs(rows, threshold=0.8, max_hamming=3):
+    """All-pairs reference scorer, restricted to the documented candidate
+    contract (>=1 frame position with pHash Hamming <= max_hamming)."""
+    hashes = {}
+    for url, data in rows:
+        counts, ph, dh = frame_hashes_for_docs([data])
+        hashes[url] = (int(counts[0]), ph, dh)
+    found = {}
+    urls = sorted(hashes)
+    for i, ua in enumerate(urls):
+        na, pa, da = hashes[ua]
+        for ub in urls[i + 1 :]:
+            nb, pb, db = hashes[ub]
+            m = min(na, nb)
+            cand = any(
+                bin((int(pa[f]) ^ int(pb[f])) & (2**64 - 1)).count("1") <= max_hamming
+                for f in range(m)
+            )
+            if not cand:
+                continue
+            nib = 0
+            for f in range(m):
+                for x, y in ((pa[f], pb[f]), (da[f], db[f])):
+                    d = (int(x) ^ int(y)) & (2**64 - 1)
+                    folded = (d | d >> 1 | d >> 2 | d >> 3) & 0x1111111111111111
+                    nib += bin(folded).count("1")
+            hash_sim = 1.0 - nib / (32.0 * m)
+            score = 0.3 * (min(na, nb) / max(na, nb)) + 0.7 * hash_sim
+            if score >= threshold:
+                found[(ua, ub)] = score
+    return found
+
+
+class TestMediaDedupPipeline:
+    @pytest.fixture(scope="class")
+    def rows(self):
+        return _media_corpus()
+
+    @pytest.fixture(scope="class")
+    def pairs_df(self, spark, rows):
+        df = spark.createDataFrame(rows, "url string, html binary")
+        frames = media_frame_hashes(df)
+        pairs, dropped, cached = media_dup_pairs(frames, persist=True)
+        out = pairs.collect()
+        assert dropped.collect()[0][0] == 0  # no hot-bucket drops here
+        for c in cached:
+            c.unpersist()
+        return out
+
+    def test_matches_brute_force_oracle(self, rows, pairs_df):
+        brute = _brute_pairs(rows)
+        got = {(r.url_a, r.url_b): r.score for r in pairs_df}
+        assert set(got) == set(brute)
+        for k, v in brute.items():
+            assert got[k] == pytest.approx(v, abs=1e-9)
+
+    def test_planted_dups_found(self, pairs_df):
+        got = {(r.url_a, r.url_b): r for r in pairs_df}
+        for i in range(4):
+            k = (f"http://media.test/v{i:03d}", f"http://mirror.test/v{i:03d}")
+            assert k in got and got[k].score == pytest.approx(1.0)
+        for i in range(4, 8):
+            k = (f"http://media.test/v{i:03d}", f"http://neardup.test/v{i:03d}")
+            assert k in got and got[k].score >= 0.8
+        # nothing pairs across unrelated base videos
+        assert all(
+            a.split("/")[-1] == b.split("/")[-1] for (a, b) in got
+        )
+
+    def test_groups_are_transitive_closure(self, spark, rows):
+        df = spark.createDataFrame(rows, "url string, html binary")
+        frames = media_frame_hashes(df)
+        pairs, _, cached = media_dup_pairs(frames, persist=True)
+        groups = {r.url: r.cluster_id for r in media_dup_groups(pairs).collect()}
+        for c in cached:
+            c.unpersist()
+        for i in range(4):
+            assert (
+                groups[f"http://media.test/v{i:03d}"]
+                == groups[f"http://mirror.test/v{i:03d}"]
+            )
+        for i in range(4, 8):
+            assert (
+                groups[f"http://media.test/v{i:03d}"]
+                == groups[f"http://neardup.test/v{i:03d}"]
+            )
+        assert len(set(groups.values())) == 8  # 8 planted 2-member clusters
+
+    def test_null_media_dropped(self, spark):
+        df = spark.createDataFrame(
+            [("u1", b"\x01" * 3000), ("u2", None)], "url string, html binary"
+        )
+        out = media_frame_hashes(df).collect()
+        assert {r.url for r in out} == {"u1"}

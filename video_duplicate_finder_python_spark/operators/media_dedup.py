@@ -1,0 +1,214 @@
+"""Perceptual-hash media dedup — the reference's core video algorithm,
+Spark-first.
+
+Reference pipeline (/root/reference/src/core/hasher.py:14-124 +
+comparator.py:14-82): sample ≤10 frames per video at regular intervals,
+compute a 64-bit dHash + 64-bit pHash per frame, bucket videos by an
+md5-prefix of the combined hash string, and score within-bucket pairs as
+``0.3 * frame_count_ratio + 0.7 * hex_char_hamming_similarity`` with a
+0.8 keep threshold.
+
+Spark-first re-expression, with two deliberate upgrades over the
+reference (both documented deviations, both strictly-more-recall):
+
+- **Candidate generation** replaces the md5-prefix bucket (which only ever
+  groups EXACT combined-hash duplicates, comparator.py:52-63) with
+  pigeonhole LSH over each frame's pHash — 4 × 16-bit chunks via the same
+  ``explode_chunks`` + ``bucket_pairs`` machinery the SimHash source uses,
+  so any two videos sharing a frame position whose pHashes are within
+  Hamming distance 3 are *guaranteed* candidates (and exact duplicates
+  trivially so). Hot buckets (e.g. a boilerplate first frame shared by
+  millions of pages) get the cap + salted ranking for free.
+- **Scoring** keeps the reference's formula and 0.8 threshold but compares
+  ALL sampled frames: the reference truncates its combined hash string to
+  100 characters (hasher.py:77), silently capping the comparison at the
+  first ~3 frames — a storage-format artifact, not a semantic choice. The
+  hex-character Hamming similarity itself is preserved exactly: one hex
+  char = one nibble, so the per-frame score is the matching-nibble
+  fraction of the 32 nibbles in (dhash, phash), computed JVM-side with a
+  bit-folding popcount — no UDF anywhere past the signature stage.
+
+Scale shape: the frame table is ≤ ``max_frames`` rows per doc; banding
+multiplies by ``n_chunks`` (40 rows/doc at defaults — same order as the
+16 MinHash band rows). Verification joins the frame table twice on
+``(url, frame_id)`` — linear, keyed, skew-capped upstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.phash import MAX_FRAMES, frame_hashes_for_docs
+from .bucket_join import bucket_pairs
+from .connected_components import connected_components
+from .simhash_candidates import explode_chunks
+
+MEDIA_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("frame_id", T.IntegerType(), False),
+        T.StructField("phash", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), False),
+    ]
+)
+
+# one bit per nibble of a 64-bit lane (0x1111111111111111)
+_NIBBLE_LSB = 0x1111111111111111
+
+
+def media_frame_hashes(
+    df: DataFrame,
+    key_col: str = "url",
+    media_col: str = "html",
+    codec: str = "fake",
+    max_frames: int = MAX_FRAMES,
+) -> DataFrame:
+    """``df(key, media: binary, ...)`` → one row per sampled frame:
+    ``(url, n_frames, frame_id, phash, dhash)``.
+
+    mapInPandas (not a scalar UDF): one media row expands to ``n_frames``
+    rows, NULL media expands to zero (dropped, caller counts deltas), and
+    the whole Arrow batch's frames go through ONE vectorized DCT
+    (functions/phash.frame_hashes_for_docs). codec="fake" is the
+    deterministic stub (see functions/phash docstring); real codecs raise
+    NotImplementedError — no decoders in this container.
+    """
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r}: media libraries are not available in this "
+            "environment; only the deterministic 'fake' stub is implemented"
+        )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            keys, payloads = [], []
+            for key, media in zip(batch[key_col], batch[media_col]):
+                if media is None:
+                    continue
+                keys.append(key)
+                payloads.append(bytes(media))
+            if not keys:
+                continue
+            counts, phashes, dhashes = frame_hashes_for_docs(payloads, max_frames)
+            yield pd.DataFrame(
+                {
+                    "url": np.repeat(np.asarray(keys, dtype=object), counts),
+                    "n_frames": np.repeat(counts, counts).astype(np.int32),
+                    "frame_id": np.concatenate(
+                        [np.arange(c, dtype=np.int32) for c in counts]
+                    ),
+                    "phash": phashes,
+                    "dhash": dhashes,
+                }
+            )
+
+    return df.select(key_col, media_col).mapInPandas(
+        hash_batches, schema=MEDIA_FRAME_SCHEMA
+    )
+
+
+def nibble_diff(a: Column, b: Column) -> Column:
+    """Count of differing nibbles between two 64-bit lanes — the JVM-side
+    equivalent of the reference's per-hex-character comparison
+    (hasher.py:121: ``sum(c1 != c2 for ...)`` over hex strings). Folds
+    each nibble's 4 xor bits onto its LSB, masks, popcounts: pure
+    Catalyst, whole-stage-codegen friendly."""
+    d = a.bitwiseXOR(b)
+    folded = (
+        d.bitwiseOR(F.shiftrightunsigned(d, 1))
+        .bitwiseOR(F.shiftrightunsigned(d, 2))
+        .bitwiseOR(F.shiftrightunsigned(d, 3))
+    )
+    return F.bit_count(folded.bitwiseAND(F.lit(_NIBBLE_LSB)))
+
+
+def media_dup_pairs(
+    frames: DataFrame,
+    threshold: float = 0.8,
+    phash_chunks: int = 4,
+    max_bucket_size: int = 256,
+    salt_threshold: int | None = 65536,
+    persist: bool = False,
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
+    """``frames`` (from media_frame_hashes) → ``(pairs, dropped, cached)``.
+
+    ``pairs(url_a, url_b, n_frames_a, n_frames_b, matched_frames,
+    hash_sim, score)`` with ``score >= threshold`` and ``url_a < url_b``;
+    ``score = 0.3 * count_ratio + 0.7 * hash_sim`` — the reference's
+    weights and default threshold (hasher.py:105, comparator.py:10).
+
+    Recall contract: any pair sharing ≥1 frame position with pHash
+    Hamming ≤ ``phash_chunks - 1`` is a candidate (pigeonhole), then the
+    full all-sampled-frames score decides. ``dropped`` counts bucket
+    members beyond the cap (hot-frame skew metric, never silent).
+    """
+    chunked = explode_chunks(
+        frames.select("url", "frame_id", "phash"), "phash", 64, phash_chunks
+    )
+    cand, dropped, cached = bucket_pairs(
+        chunked,
+        key_cols=["frame_id", "chunk_id", "chunk_value"],
+        max_bucket_size=max_bucket_size,
+        persist=persist,
+        salt_threshold=salt_threshold,
+    )
+    cand = cand.select("url_a", "url_b").dropDuplicates(["url_a", "url_b"])
+
+    fa = frames.select(
+        F.col("url").alias("url_a"),
+        F.col("n_frames").alias("n_frames_a"),
+        "frame_id",
+        F.col("phash").alias("phash_a"),
+        F.col("dhash").alias("dhash_a"),
+    )
+    fb = frames.select(
+        F.col("url").alias("url_b"),
+        F.col("n_frames").alias("n_frames_b"),
+        "frame_id",
+        F.col("phash").alias("phash_b"),
+        F.col("dhash").alias("dhash_b"),
+    )
+    # positional frame join emits exactly min(n_a, n_b) rows per pair —
+    # the reference's truncate-to-min-length comparison (hasher.py:112-115)
+    per_frame = cand.join(fa, "url_a").join(fb, ["url_b", "frame_id"])
+    nib = nibble_diff(F.col("phash_a"), F.col("phash_b")) + nibble_diff(
+        F.col("dhash_a"), F.col("dhash_b")
+    )
+    scored = (
+        per_frame.groupBy("url_a", "url_b")
+        .agg(
+            F.first("n_frames_a").alias("n_frames_a"),
+            F.first("n_frames_b").alias("n_frames_b"),
+            F.count(F.lit(1)).alias("matched_frames"),
+            F.avg(F.lit(1.0) - nib / F.lit(32.0)).alias("hash_sim"),
+        )
+        .withColumn(
+            "score",
+            F.lit(0.3)
+            * (
+                F.least("n_frames_a", "n_frames_b")
+                / F.greatest("n_frames_a", "n_frames_b")
+            )
+            + F.lit(0.7) * F.col("hash_sim"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+    return scored, dropped, cached
+
+
+def media_dup_groups(pairs: DataFrame) -> DataFrame:
+    """Duplicate-pair edges → ``(url, cluster_id)`` via the same two-phase
+    connected components the text pipeline uses — replacing the
+    reference's greedy per-bucket group builder with a transitive-closure
+    grouping that is identical when buckets don't chain and strictly more
+    complete when they do."""
+    return connected_components(
+        pairs.select(F.col("url_a").alias("u"), F.col("url_b").alias("v"))
+    )
