@@ -120,6 +120,24 @@ def main() -> None:
 
     queries["media_phash_pairs"] = best_of(media_pairs_df)
 
+    # SemDeDup semantic dedup (round 6, operators/semdedup.py): k-means
+    # cells → within-cell cosine pairs → CC groups → keep-the-outlier.
+    # eps=0.6 here because the synthetic embeddings carry no true
+    # semantic dups (max within-cell cosine ≈ 0.6 at sf0.1) — the looser
+    # knob makes the verify/CC/keeper stages do real work (315 members /
+    # 140 groups at sf0.1); semantics at the paper's eps are pytest-
+    # twinned on planted duplicates (tests/test_semdedup.py).
+    from video_duplicate_finder_python_spark.operators.ann import (
+        train_ivf_centroids,
+    )
+    from video_duplicate_finder_python_spark.operators.semdedup import semdedup
+
+    emb_docs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sem_cents = train_ivf_centroids(emb_docs)
+    queries["semdedup_members"] = best_of(
+        lambda: semdedup(emb_docs, sem_cents, eps=0.6)[0]
+    )
+
     # ANN scale paths: ONE index build (corpus UDF pass) amortized over a
     # probe-join query batch — probe must cost a small fraction of build
     from video_duplicate_finder_python_spark.operators.ann import (

@@ -1,0 +1,138 @@
+"""SemDeDup — semantic deduplication over an embedding column.
+
+Published analog: Abbas et al., "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication" (arXiv:2303.09540) — k-means the
+embedding space, compare pairs ONLY within a cell, call a pair semantic
+duplicates when cosine ≥ 1 - eps, and keep exactly one member per
+duplicate group: the one with the LOWEST similarity to its cell centroid
+(the paper's keep-the-outlier policy, which preserves diversity).
+
+Spark-first composition — every stage is an operator this engine already
+ships, so the new surface is just the glue:
+
+- centroids: ``operators/ann.train_ivf_centroids`` (seeded spherical
+  k-means on a bounded driver-side sample — the corpus never trains);
+- cell assignment + centroid similarity: one Arrow-batched pandas UDF
+  (matrix product per batch, mirroring ``make_ivf_assign_udf``);
+- within-cell candidate pairs: ``bucket_join.bucket_pairs`` keyed on
+  ``centroid_id`` — the cap + salted ranking bound the quadratic blow-up
+  SemDeDup's own design accepts inside a cell (a mega-cell on a 10^12-doc
+  corpus is ranked per-salt, capped, and the spill is a counted metric,
+  never an OOM);
+- exact pair cosine: JVM ``zip_with``/``aggregate`` fold
+  (``operators/ann.cosine_col``) — no Python past the assignment stage;
+- duplicate groups: the same two-phase connected components as the text
+  pipeline, so transitively-linked duplicates collapse to ONE keeper
+  (the paper's per-pair dedup can keep two members of a chained triple);
+- keep policy: a map-side-combinable ``min_by`` aggregate per cluster —
+  the skew-safe shape the retention operator uses (no per-cluster window).
+
+Reference seam: this is the embedding-space twin of the pipeline's
+text-signature dedup (SURVEY O5-O8, O10, O16) applied to the
+``embeddings`` table the training-pipeline brief ships.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .ann import _l2_normalize, cosine_col
+from .bucket_join import bucket_pairs
+from .connected_components import connected_components
+
+_ASSIGN_SCHEMA = T.StructType(
+    [
+        T.StructField("centroid_id", T.IntegerType(), False),
+        T.StructField("cent_sim", T.DoubleType(), False),
+    ]
+)
+
+
+def assign_cells(embeddings: DataFrame, cents: np.ndarray) -> DataFrame:
+    """``(vec_id, embedding, ...)`` → ``+ (centroid_id, cent_sim)``.
+
+    One Arrow-batched matrix product per batch (spherical cells: nearest
+    centroid == argmax of normalized dot, see train_ivf_centroids)."""
+    cents = np.ascontiguousarray(cents, dtype=np.float64)
+
+    @F.pandas_udf(_ASSIGN_SCHEMA)
+    def assign_udf(emb: pd.Series) -> pd.DataFrame:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        sims = _l2_normalize(mat) @ cents.T
+        cid = sims.argmax(axis=1)
+        return pd.DataFrame(
+            {
+                "centroid_id": cid.astype(np.int32),
+                "cent_sim": sims[np.arange(len(cid)), cid],
+            }
+        )
+
+    return embeddings.withColumn("_a", assign_udf("embedding")).select(
+        "*", "_a.centroid_id", "_a.cent_sim"
+    ).drop("_a")
+
+
+def semdedup(
+    embeddings: DataFrame,
+    cents: np.ndarray,
+    eps: float = 0.05,
+    max_cell_compare: int = 1024,
+    salt_threshold: int | None = 65536,
+    persist: bool = False,
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
+    """→ ``(members, dropped, cached)``.
+
+    ``members(vec_id, cluster_id, cent_sim, is_kept)`` — one row per
+    member of a semantic-duplicate group (vectors in no group are
+    implicitly kept, same convention as operators/retention); exactly one
+    ``is_kept`` row per cluster: lowest ``cent_sim``, vec_id tiebreak.
+    ``dropped`` counts cell members beyond ``max_cell_compare`` (cap
+    metric); ``cached`` are caller-owned persisted handles.
+    """
+    assigned = assign_cells(embeddings, cents).select(
+        # zero-padded string id: bucket_pairs orders by it and CC min()s
+        # it lexicographically — padding makes both match numeric order
+        F.lpad(F.col("vec_id").cast("string"), 12, "0").alias("vid"),
+        "embedding",
+        "centroid_id",
+        "cent_sim",
+    )
+    cand, dropped, cached = bucket_pairs(
+        assigned,
+        key_cols=["centroid_id"],
+        id_col="vid",
+        carry_cols=["embedding", "cent_sim"],
+        max_bucket_size=max_cell_compare,
+        persist=persist,
+        salt_threshold=salt_threshold,
+    )
+    edges = (
+        cand.withColumn(
+            "cos", cosine_col(F.col("embedding_a"), F.col("embedding_b"))
+        )
+        .where(F.col("cos") >= F.lit(1.0 - eps))
+        .select(F.col("url_a").alias("u"), F.col("url_b").alias("v"))
+    )
+    clusters = connected_components(edges)  # (url, cluster_id)
+
+    members = clusters.join(
+        assigned.select(F.col("vid").alias("url"), "cent_sim"), "url"
+    )
+    # skew-safe keeper: map-side-combinable min_by per cluster (no window)
+    winners = members.groupBy("cluster_id").agg(
+        F.min_by("url", F.struct(F.col("cent_sim"), F.col("url"))).alias("_keep")
+    )
+    out = (
+        members.join(winners, "cluster_id")
+        .select(
+            F.col("url").cast("bigint").alias("vec_id"),
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            "cent_sim",
+            (F.col("url") == F.col("_keep")).alias("is_kept"),
+        )
+    )
+    return out, dropped, cached
