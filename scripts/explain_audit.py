@@ -312,6 +312,52 @@ def main() -> None:
         ret_plan,
     )
 
+    # 9. media pHash dedup (round 6): Python must appear ONLY in the
+    #    frame-hash mapInPandas stage — candidate banding, the pair join,
+    #    and the nibble-Hamming scoring are all JVM expressions
+    from video_duplicate_finder_python_spark.operators.media_dedup import (
+        media_dup_pairs,
+        media_frame_hashes,
+    )
+
+    media_src = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode("text", "UTF-8").alias("html"),
+    )
+    frames = media_frame_hashes(media_src)
+    media_plan = (
+        media_dup_pairs(frames, salt_threshold=None)[0]
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_py_nodes = media_plan.count("MapInPandas")
+    check(
+        "media_dedup: Python only in the frame-hash stage "
+        "(MapInPandas nodes == frame-table scans, no other EvalPython)",
+        n_py_nodes >= 1
+        and media_plan.count("ArrowEvalPython") == 0
+        and "BatchEvalPython" not in media_plan,
+        media_plan,
+    )
+
+    # 10. semdedup (round 6): one Arrow-batched assignment UDF; the pair
+    #     cosine is a JVM fold (no BatchEvalPython = no row-at-a-time UDF)
+    import numpy as np
+
+    from video_duplicate_finder_python_spark.operators.semdedup import semdedup
+
+    emb_df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rng_cents = np.random.default_rng(0).standard_normal((4, 64))
+    sem_plan = (
+        semdedup(emb_df, rng_cents, salt_threshold=None)[0]
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "semdedup: assignment is the only Python (ArrowEvalPython), pair "
+        "cosine is a JVM fold",
+        "ArrowEvalPython" in sem_plan and "BatchEvalPython" not in sem_plan,
+        sem_plan,
+    )
+
     print()
     if failures:
         print(f"{len(failures)} PLAN VIOLATIONS: {failures}")
