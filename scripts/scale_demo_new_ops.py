@@ -1,0 +1,182 @@
+"""Capacity demonstration for the round-6 operators: perceptual-hash
+media dedup and SemDeDup at ~100x the bench scale, with planted-duplicate
+recall checks — the same evidence shape as the 300k/1M text-pipeline runs
+(BENCH/SCALING_R6_*.md).
+
+Inputs are synthesized INSIDE Spark (pure-JVM expressions, no driver-side
+data): deterministic pseudo-random media bytes / embedding vectors from
+xxhash64 chains, with every K-th item an exact (media) or near (embedding)
+duplicate of its predecessor. So the demo measures the operators, not a
+driver bottleneck, and recall has a known ground truth.
+
+Usage:
+    python scripts/scale_demo_new_ops.py [n_media] [n_vectors] [cpus]
+defaults: 100_000 media docs, 200_000 vectors, 32 cpus. Prints one JSON
+line per demo.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+N_MEDIA = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+N_VECS = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+CPUS = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+DUP_EVERY = 10  # id % DUP_EVERY == 1 duplicates id - 1
+DIM = 64
+
+
+def synth_media(spark, n: int):
+    """(url, html: binary): ~2-10 KiB deterministic pseudo-random bytes;
+    every DUP_EVERY-th doc byte-identical to its predecessor."""
+    from pyspark.sql import functions as F
+
+    base = F.when(
+        (F.col("id") % DUP_EVERY == 1) & (F.col("id") > 0), F.col("id") - 1
+    ).otherwise(F.col("id"))
+    # 64..319 md5 hex blocks of 32 bytes -> 2-10 KiB, content keyed on base
+    n_blocks = ((F.xxhash64(base) % 256 + 320) % 256 + 64).cast("int")
+    payload = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_blocks),
+            lambda i: F.md5(F.concat(base.cast("string"), F.lit(":"), i.cast("string"))),
+        ),
+        "",
+    )
+    return spark.range(n).select(
+        F.concat(F.lit("m://"), F.lpad(F.col("id").cast("string"), 9, "0")).alias("url"),
+        F.encode(payload, "UTF-8").alias("html"),
+    )
+
+
+def demo_media(spark) -> dict:
+    from video_duplicate_finder_python_spark.operators.media_dedup import (
+        media_dup_pairs,
+        media_frame_hashes,
+    )
+
+    docs = synth_media(spark, N_MEDIA)
+    t0 = time.monotonic()
+    frames = media_frame_hashes(docs)
+    pairs, dropped, cached = media_dup_pairs(frames, persist=True)
+    n_pairs = pairs.count()
+    n_dropped = dropped.collect()[0][0]
+    wall = time.monotonic() - t0
+    # ground truth: (id-1, id) for id%DUP_EVERY==1 — exact dups score 1.0
+    expected = (N_MEDIA - 1) // DUP_EVERY + (1 if (N_MEDIA - 1) % DUP_EVERY >= 1 else 0)
+    from pyspark.sql import functions as F
+
+    found = pairs.where(
+        (F.substring("url_b", 5, 9).cast("bigint") % DUP_EVERY == 1)
+        & (
+            F.substring("url_b", 5, 9).cast("bigint")
+            - F.substring("url_a", 5, 9).cast("bigint")
+            == 1
+        )
+        & (F.col("score") >= 0.999)
+    ).count()
+    for c in cached:
+        c.unpersist()
+    return {
+        "demo": "media_phash_dedup",
+        "n_docs": N_MEDIA,
+        "wall_s": round(wall, 2),
+        "docs_per_sec": round(N_MEDIA / wall, 1),
+        "n_pairs": n_pairs,
+        "dropped_bucket_members": n_dropped,
+        "planted_exact_dups": expected,
+        "planted_found": found,
+        "recall": round(found / expected, 4),
+        "cpus": CPUS,
+    }
+
+
+def synth_vectors(spark, n: int):
+    """(vec_id, embedding: array<float>): unit-scale pseudo-random dim-64
+    vectors; every DUP_EVERY-th vector a tiny perturbation of its
+    predecessor (cosine > 0.999)."""
+    from pyspark.sql import functions as F
+
+    base = F.when(
+        (F.col("id") % DUP_EVERY == 1) & (F.col("id") > 0), F.col("id") - 1
+    ).otherwise(F.col("id"))
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda i: (
+            F.pmod(F.xxhash64(base * DIM + i), F.lit(20001)) / 10000.0 - 1.0
+        ).cast("float"),
+    )
+    noise = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda i: (
+            F.pmod(F.xxhash64(F.col("id") * DIM + i + 7), F.lit(2001)) / 100000.0
+            - 0.01
+        ).cast("float"),
+    )
+    emb = F.zip_with(vec, noise, lambda a, b: a + b)
+    return spark.range(n).select(F.col("id").alias("vec_id"), emb.alias("embedding"))
+
+
+def demo_semdedup(spark) -> dict:
+    from video_duplicate_finder_python_spark.operators.ann import train_ivf_centroids
+    from video_duplicate_finder_python_spark.operators.semdedup import semdedup
+
+    vecs = synth_vectors(spark, N_VECS)
+    # SemDeDup scales k with n (the paper's 11k clusters at 5B): cells of
+    # ~n/k members bound the within-cell quadratic work
+    k = max(64, int((N_VECS / 400)))
+    t0 = time.monotonic()
+    cents = train_ivf_centroids(vecs, n_centroids=k, train_size=min(N_VECS, 16384))
+    members, dropped, cached = semdedup(vecs, cents, eps=0.01, persist=True)
+    n_members = members.count()
+    kept = members.where("is_kept").count()
+    n_dropped = dropped.collect()[0][0]
+    wall = time.monotonic() - t0
+    expected = (N_VECS - 1) // DUP_EVERY + (1 if (N_VECS - 1) % DUP_EVERY >= 1 else 0)
+    from pyspark.sql import functions as F
+
+    found = (
+        members.alias("a")
+        .join(
+            members.alias("b"),
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("b.vec_id") - F.col("a.vec_id") == 1)
+            & (F.col("b.vec_id") % DUP_EVERY == 1),
+        )
+        .count()
+    )
+    for c in cached:
+        c.unpersist()
+    return {
+        "demo": "semdedup",
+        "n_vectors": N_VECS,
+        "n_centroids": k,
+        "wall_s": round(wall, 2),
+        "vecs_per_sec": round(N_VECS / wall, 1),
+        "group_members": n_members,
+        "kept": kept,
+        "dropped_cell_members": n_dropped,
+        "planted_near_dups": expected,
+        "planted_same_cluster": found,
+        "recall": round(found / expected, 4),
+        "cpus": CPUS,
+    }
+
+
+def main() -> None:
+    from bench_core import make_session
+
+    spark = make_session(CPUS)
+    for fn in (demo_media, demo_semdedup):
+        print("SCALE_DEMO " + json.dumps(fn(spark)), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
