@@ -221,3 +221,57 @@ class TestMediaDedupPipeline:
         )
         out = media_frame_hashes(df).collect()
         assert {r.url for r in out} == {"u1"}
+
+
+# -- hypothesis kernel properties (pure NumPy, no Spark) --------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(min_value=0, max_value=30 * FRAME_BYTES + 3))
+    def test_sampling_shape_property(n_bytes):
+        """Any byte length (incl. the n*1024±1 boundaries): >=1 frame,
+        <=10 frames, every frame an exact zero-padded byte window."""
+        data = bytes((i * 131 + 7) % 256 for i in range(n_bytes))
+        frames = sample_frames(data)
+        fc = max(1, n_bytes // FRAME_BYTES)
+        assert frames.shape == (min(10, fc), FRAME_SIDE, FRAME_SIDE)
+        raw = np.frombuffer(data, dtype=np.uint8)
+        n = frames.shape[0]
+        for i in range(n):
+            off = int(i / n * fc) * FRAME_BYTES
+            window = raw[off : off + FRAME_BYTES]
+            flat = frames[i].ravel()
+            assert (flat[: window.size] == window).all()
+            assert (flat[window.size :] == 0).all()
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=12_000), min_size=1, max_size=12), st.integers(0, 2**32 - 1))
+    def test_batch_split_invariance(sizes, seed):
+        """Hashing docs in one batch == hashing them in any split — the
+        Arrow batch boundary must never leak into signatures."""
+        rng = np.random.default_rng(seed)
+        docs = [rng.integers(0, 256, size=s, dtype=np.uint8).tobytes() for s in sizes]
+        counts, ph, dh = frame_hashes_for_docs(docs)
+        cut = len(docs) // 2
+        c1, p1, d1 = frame_hashes_for_docs(docs[:cut])
+        c2, p2, d2 = frame_hashes_for_docs(docs[cut:])
+        assert (np.concatenate([c1, c2]) == counts).all()
+        assert (np.concatenate([p1, p2]) == ph).all()
+        assert (np.concatenate([d1, d2]) == dh).all()
+
+    def test_scale_invariance_exact():
+        """pHash/dHash depend only on coefficient ORDER: doubling every
+        pixel (exact in float64) must not change either hash."""
+        rng = np.random.default_rng(3)
+        f = rng.integers(0, 128, size=(6, FRAME_SIDE, FRAME_SIDE), dtype=np.uint8)
+        assert (phash64_batch(f) == phash64_batch((f * 2).astype(np.uint8))).all()
+        assert (dhash64_batch(f) == dhash64_batch((f * 2).astype(np.uint8))).all()
