@@ -157,11 +157,16 @@ def main(argv: list[str] | None = None) -> None:
             extra={"clusters": res.clusters.select("cluster_id").distinct().count()},
         )
 
-    # 4. cross-doc line dedup (RefinedWeb semantics) on the survivors
+    # 4. cross-doc line dedup (RefinedWeb semantics) on the survivors.
+    # `cleaned` feeds TWO actions (the drop-count aggregate and the
+    # boundary count/write) — persist it or the chunk explode + two
+    # groupBys run twice (measured: the un-persisted shape doubled this
+    # stage's wall in the 300k capacity run)
     if not args.no_line_dedup:
         cleaned = drop_cross_doc_duplicate_lines(
             pages, id_col="url", text_col="text", chunk_tokens=args.chunk_tokens
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(cleaned)
         dropped_chunks = cleaned.agg(F.sum("n_dropped")).collect()[0][0] or 0
         pages = boundary(
             "line_dedup",
