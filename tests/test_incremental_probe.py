@@ -1,0 +1,96 @@
+"""Incremental near-dup probe: new batch vs signature store in O(delta).
+
+Covers: exact new-vs-store dup, perturbed near-dup, within-batch
+(new x new) dup, unique no-ops, the boilerplate overflow guard, and the
+plan property (store side never shuffled — the batch bands broadcast)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from video_duplicate_finder_python_spark import DedupConfig
+from video_duplicate_finder_python_spark.operators.incremental_probe import (
+    probe_near_dups,
+)
+from video_duplicate_finder_python_spark.operators.signature_stage import (
+    compute_signatures,
+)
+
+CFG = DedupConfig()
+
+
+def _doc(seed_words, n=120):
+    return " ".join(seed_words[i % len(seed_words)] + str(i * 7 % 13) for i in range(n))
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    rows = [
+        (f"https://old.example/{i}", _doc([f"w{i}a", f"w{i}b", f"w{i}c", "base"]))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    return compute_signatures(df, CFG, keep_cols=["url", "text"]).persist()
+
+
+def test_probe_finds_expected_pairs(spark, store):
+    old0 = store.where("url = 'https://old.example/0'").collect()[0]["text"]
+    old1 = store.where("url = 'https://old.example/1'").collect()[0]["text"]
+    near = old1.split(" ")
+    near[3], near[17] = "changedx", "changedy"  # ~1.7% token change
+    batch_dup = _doc(["bdupa", "bdupb", "bdupc", "fresh"])
+    rows = [
+        ("https://new.example/exact", old0),
+        ("https://new.example/near", " ".join(near)),
+        ("https://new.example/unique", _doc(["zq1", "zq2", "zq3", "only"])),
+        ("https://new.example/pair1", batch_dup),
+        ("https://new.example/pair2", batch_dup),
+    ]
+    new_docs = spark.createDataFrame(rows, "url string, text string")
+    pairs, overflow = probe_near_dups(store, new_docs, CFG)
+    got = {
+        (r.new_url, r.other_url, r.is_new_other): r
+        for r in pairs.where("is_dup").collect()
+    }
+    assert overflow.count() == 0
+
+    k = ("https://new.example/exact", "https://old.example/0", False)
+    assert k in got and got[k].jaccard == pytest.approx(1.0)
+    k = ("https://new.example/near", "https://old.example/1", False)
+    assert k in got and got[k].jaccard >= CFG.jaccard_threshold
+    # within-batch dup found once, as a new-new pair
+    assert ("https://new.example/pair1", "https://new.example/pair2", True) in got
+    # unique doc pairs with nothing; no spurious cross pairs
+    assert all(
+        "unique" not in a and "unique" not in b for (a, b, _) in got
+    )
+
+
+def test_overflow_guard(spark, store):
+    boiler = _doc(["common", "boiler", "plate", "page"])
+    old = spark.createDataFrame(
+        [(f"https://old.example/b{i}", boiler) for i in range(20)],
+        "url string, text string",
+    )
+    big_store = compute_signatures(old, CFG, keep_cols=["url", "text"])
+    new_docs = spark.createDataFrame(
+        [("https://new.example/boiler", boiler)], "url string, text string"
+    )
+    pairs, overflow = probe_near_dups(big_store, new_docs, CFG, max_matches_per_doc=5)
+    ov = overflow.collect()
+    assert len(ov) == 1 and ov[0].new_url == "https://new.example/boiler"
+    assert ov[0].n_matches == 20
+    assert pairs.where("not is_new_other").count() == 0  # diverted, not exploded
+
+
+def test_store_side_not_shuffled(spark, store):
+    new_docs = spark.createDataFrame(
+        [("https://new.example/x", _doc(["p", "q", "r", "s"]))],
+        "url string, text string",
+    )
+    pairs, _ = probe_near_dups(store, new_docs, CFG)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # the store->candidates join must be broadcast (batch side built), not
+    # a sort-merge/shuffled-hash join over the store
+    assert "BroadcastHashJoin" in plan
