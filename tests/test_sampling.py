@@ -76,3 +76,29 @@ def test_bad_args(docs):
         stratified_sample(docs, {"en": -0.1})
     with pytest.raises(ValueError):
         assign_split(docs, {"train": 0.5, "test": 0.4})
+
+
+def test_budget_sample(spark, docs):
+    from video_duplicate_finder_python_spark.functions.sampling import budget_sample
+
+    d = docs.withColumn(
+        "n_tokens", (F.xxhash64("url") % 900 + 900) % 900 + 100  # 100..999
+    )
+    totals = {
+        r.lang: r.t for r in d.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    out = budget_sample(d, {"en": totals["en"] // 10, "de": totals["de"] * 2})
+    got = {
+        r.lang: r.t for r in out.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    assert "fr" not in got  # no budget -> dropped
+    assert got["de"] == totals["de"]  # budget above total -> whole stratum
+    target = totals["en"] // 10
+    assert abs(got["en"] / target - 1.0) < 0.15  # binomial noise at ~666 docs
+    # deterministic across re-runs
+    a = sorted(r.url for r in out.collect())
+    b = sorted(
+        r.url
+        for r in budget_sample(d, {"en": totals["en"] // 10, "de": totals["de"] * 2}).collect()
+    )
+    assert a == b

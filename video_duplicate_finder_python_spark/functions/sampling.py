@@ -92,3 +92,44 @@ def assign_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(out_col, expr)
+
+
+def budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    token_col: str = "n_tokens",
+    strata_col: str = "lang",
+    key_col: str = "url",
+    salt: str = "budget",
+) -> DataFrame:
+    """Sample each stratum down to ~a token budget (e.g. "100M English
+    tokens, 50M German") — the corpus-mixing step of training-data
+    assembly.
+
+    Two passes, both skew-free: (1) one map-side-combinable groupBy
+    totals tokens per stratum; (2) each stratum's rate =
+    min(1, budget / total) is folded into the same literal-CASE Bernoulli
+    filter ``stratified_sample`` uses, so the selection is deterministic,
+    partition-independent, and nested across re-runs with growing
+    budgets. The hit is E[tokens] = budget with binomial concentration
+    (relative error ~ 1/sqrt(docs selected): a fraction of a percent once
+    a budget spans 10^4+ docs); exact-to-the-token packing would need a
+    per-stratum global sort, which is the skew class this engine avoids
+    everywhere else.
+
+    Strata absent from ``budgets`` are dropped (rate 0).
+    """
+    totals = {
+        r[strata_col]: r["_total"]
+        for r in df.groupBy(strata_col)
+        .agg(F.sum(token_col).alias("_total"))
+        .collect()
+        if r[strata_col] in budgets
+    }
+    rates = {
+        s: min(1.0, budgets[s] / totals[s]) if totals.get(s) else 0.0
+        for s in budgets
+    }
+    return stratified_sample(
+        df, rates, strata_col=strata_col, default_rate=0.0, key_col=key_col, salt=salt
+    )
