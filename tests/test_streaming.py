@@ -439,3 +439,43 @@ def test_vacuum_cadence_leaves_no_dead_generations(spark, tmp_path):
     }
     assert on_disk == live
     assert ingest.store.read().count() == 16
+
+
+def test_probe_dups_streaming_dedup(spark, tmp_path):
+    """Opt-in streaming dedup (round 6): with ``probe_dups_dir`` set, each
+    batch is probed against the pre-batch store and verified dup pairs
+    land in the dir; the default path stays probe-free (O(delta) only)."""
+
+    def pages_df(rows):
+        return spark.createDataFrame(
+            [
+                (u, None, f"<html><body><p>{t}</p></body></html>".encode(), None, "en")
+                for u, t in rows
+            ],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+
+    body = " ".join(f"tok{i}x{i*3%7}" for i in range(150))
+    other = " ".join(f"zz{i}q{i*5%11}" for i in range(150))
+    dups_dir = str(tmp_path / "dups")
+    ingest = StreamingSignatureIngest(
+        spark, str(tmp_path / "s"), DedupConfig(), n_parts=4, probe_dups_dir=dups_dir
+    )
+    # batch 0 seeds the store (no probe possible: empty store)
+    ingest.process_batch(pages_df([("https://a/1", body), ("https://a/2", other)]), 0)
+    assert "probe_dup_pairs" not in ingest.batch_stats[-1]
+
+    # batch 1 re-sends body under a new url + one unique doc
+    uniq = " ".join(f"uu{i}k{i*2%9}" for i in range(150))
+    ingest.process_batch(pages_df([("https://b/1", body), ("https://b/2", uniq)]), 1)
+    assert ingest.batch_stats[-1]["probe_dup_pairs"] == 1
+    rows = spark.read.parquet(dups_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.new_url, r.other_url, r.is_new_other, r.batch_id) == (
+        "https://b/1",
+        "https://a/1",
+        False,
+        1,
+    )
+    assert r.jaccard == 1.0 and r.is_dup

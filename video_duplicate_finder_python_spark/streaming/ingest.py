@@ -363,6 +363,7 @@ class StreamingSignatureIngest:
         cfg: DedupConfig | None = None,
         n_parts: int = 16,
         vacuum_every_n_batches: int | None = None,
+        probe_dups_dir: str | None = None,
     ):
         """``vacuum_every_n_batches``: opt-in GC cadence (round-3 verdict
         #7) — after every Nth processed micro-batch the store's
@@ -370,12 +371,22 @@ class StreamingSignatureIngest:
         doesn't accumulate unbounded dead generations. Off by default:
         vacuum is safe only once concurrent snapshot readers have
         finished (same contract as Iceberg expire_snapshots), which the
-        ingest can't know about readers it didn't start."""
+        ingest can't know about readers it didn't start.
+
+        ``probe_dups_dir``: opt-in streaming dedup — before each upsert,
+        the batch is probed against the CURRENT store
+        (operators/incremental_probe.probe_near_dups) and verified dup
+        pairs land in ``probe_dups_dir`` partitioned by batch. Off by
+        default because the probe's documented cost is one store SCAN per
+        batch (broadcast probe, no store shuffle) — a deliberate opt-out
+        from this class's O(delta)-only invariant
+        (test_no_full_store_scan_per_micro_batch)."""
         self.spark = spark
         self.cfg = cfg or DedupConfig()
         self.store = SignatureStore(spark, store_dir, n_parts=n_parts)
         self.batch_stats: list[dict] = []
         self.vacuum_every_n_batches = vacuum_every_n_batches
+        self.probe_dups_dir = probe_dups_dir
 
     # -- batch-side logic (also usable without a stream) --------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -384,6 +395,23 @@ class StreamingSignatureIngest:
         ).withColumn("content_hash", content_hash_col(F.col("text")))
 
         manifest = self.store.manifest()
+        probe_pairs = None
+        if self.probe_dups_dir and manifest:
+            # streaming dedup (opt-in, see __init__): probe BEFORE the
+            # upsert so the batch is compared to the pre-batch corpus;
+            # within-batch pairs ride the same verify pass
+            from ..operators.incremental_probe import probe_near_dups
+
+            pairs, _overflow = probe_near_dups(
+                self.store.read(), docs.select("url", "text"), self.cfg
+            )
+            dup = pairs.where("is_dup").withColumn("batch_id", F.lit(int(batch_id)))
+            dup.write.mode("append").parquet(self.probe_dups_dir)
+            probe_pairs = (
+                self.spark.read.parquet(self.probe_dups_dir)
+                .where(F.col("batch_id") == int(batch_id))
+                .count()
+            )
         # `not manifest` covers the truncated-store case: clear_all() on a
         # never-written store leaves an empty manifest with no schema file,
         # so the upsert branch would crash on read() → None
@@ -427,6 +455,8 @@ class StreamingSignatureIngest:
             "delta_rows": delta_count,
             "touched_parts": len(touched),
         }
+        if probe_pairs is not None:
+            stat["probe_dup_pairs"] = probe_pairs
         n = self.vacuum_every_n_batches
         if n and (len(self.batch_stats) + 1) % n == 0:  # every Nth batch
             stat["vacuumed_parts"] = self.store.vacuum()
