@@ -105,19 +105,41 @@ def main(argv: list[str] | None = None) -> None:
     langs = args.langs.split(",") if args.langs else None
     pages = boundary("read", read_pages(spark, args.input, langs=langs))
 
-    # 1. canonical-URL dedup: one survivor per canonical form (smallest
-    # raw url — deterministic; canonical groups are tiny, the groupBy is
-    # a map-side-combinable min_by, no window)
+    # 1. canonical-URL dedup in two skew-free aggregates, no window:
+    # (a) collapse RECRAWLS of the same url (a crawl table can carry one
+    # row per snapshot) to the newest/longest row via max_by — without
+    # this, every same-url row survives the canonical join below and
+    # downstream url-keyed joins multiply rows; (b) one survivor per
+    # canonical form (smallest raw url — deterministic).
     if not args.no_url_dedup:
         canon = pages.withColumn("_canon", canonicalize_url(F.col("url")))
-        winners = canon.groupBy("_canon").agg(F.min("url").alias("url"))
-        pages = boundary("url_dedup", canon.join(winners, ["_canon", "url"]).drop("_canon"))
+        rank = F.struct(
+            F.col("warc_ts").isNotNull().cast("int").alias("has_ts"),
+            F.col("warc_ts").alias("ts"),
+            F.length("text").alias("n_chars"),
+            F.xxhash64(F.col("html")).alias("tiebreak"),
+        )
+        payload = [c for c in canon.columns if c != "url"]
+        per_url = (
+            canon.groupBy("url")
+            .agg(F.max_by(F.struct(*payload), rank).alias("_row"))
+            .select("url", "_row.*")
+        )
+        winners = per_url.groupBy("_canon").agg(F.min("url").alias("url"))
+        pages = boundary(
+            "url_dedup", per_url.join(winners, ["_canon", "url"]).drop("_canon")
+        )
 
     # 2. Gopher-style quality filter, with per-rule drop counts
     if not args.no_quality:
         flags = gopher_flags(F.col("text"), min_tokens=args.min_tokens)
         if args.quality_rules != "all":
             selected = {r.strip() for r in args.quality_rules.split(",") if r.strip()}
+            if not selected:
+                raise SystemExit(
+                    "--quality-rules: empty selection — pass rule names or "
+                    "'all', or use --no-quality to skip the stage"
+                )
             unknown = selected - (set(flags) - {"keep"})
             if unknown:
                 raise SystemExit(f"--quality-rules: unknown rules {sorted(unknown)}")

@@ -48,7 +48,7 @@ def test_probe_finds_expected_pairs(spark, store):
         ("https://new.example/pair2", batch_dup),
     ]
     new_docs = spark.createDataFrame(rows, "url string, text string")
-    pairs, overflow = probe_near_dups(store, new_docs, CFG)
+    pairs, overflow, caches = probe_near_dups(store, new_docs, CFG)
     got = {
         (r.new_url, r.other_url, r.is_new_other): r
         for r in pairs.where("is_dup").collect()
@@ -65,6 +65,8 @@ def test_probe_finds_expected_pairs(spark, store):
     assert all(
         "unique" not in a and "unique" not in b for (a, b, _) in got
     )
+    for c in caches:
+        c.unpersist()
 
 
 def test_overflow_guard(spark, store):
@@ -77,11 +79,13 @@ def test_overflow_guard(spark, store):
     new_docs = spark.createDataFrame(
         [("https://new.example/boiler", boiler)], "url string, text string"
     )
-    pairs, overflow = probe_near_dups(big_store, new_docs, CFG, max_matches_per_doc=5)
+    pairs, overflow, caches = probe_near_dups(big_store, new_docs, CFG, max_matches_per_doc=5)
     ov = overflow.collect()
     assert len(ov) == 1 and ov[0].new_url == "https://new.example/boiler"
     assert ov[0].n_matches == 20
     assert pairs.where("not is_new_other").count() == 0  # diverted, not exploded
+    for c in caches:
+        c.unpersist()
 
 
 def test_store_side_not_shuffled(spark, store):
@@ -89,8 +93,10 @@ def test_store_side_not_shuffled(spark, store):
         [("https://new.example/x", _doc(["p", "q", "r", "s"]))],
         "url string, text string",
     )
-    pairs, _ = probe_near_dups(store, new_docs, CFG)
+    pairs, _, caches = probe_near_dups(store, new_docs, CFG)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     # the store->candidates join must be broadcast (batch side built), not
     # a sort-merge/shuffled-hash join over the store
     assert "BroadcastHashJoin" in plan
+    for c in caches:
+        c.unpersist()

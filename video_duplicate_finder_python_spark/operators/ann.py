@@ -264,10 +264,17 @@ def train_ivf_centroids(
     best = x @ x[first]
     for _ in range(k - 1):
         d = np.maximum(0.0, 1.0 - best)
+        d[chosen] = 0.0  # never re-seed an already-chosen point
         total = d.sum()
-        nxt = int(rng.choice(x.shape[0], p=d / total)) if total > 0 else int(
-            rng.integers(x.shape[0])
-        )
+        if total > 0:
+            nxt = int(rng.choice(x.shape[0], p=d / total))
+        else:
+            # degenerate sample (all points coincide with the chosen
+            # set): fall back to a uniform draw over UNCHOSEN indices so
+            # no duplicate centroid is ever seeded (the pre-k-means++
+            # init used replace=False and had the same guarantee)
+            remaining = np.setdiff1d(np.arange(x.shape[0]), np.array(chosen))
+            nxt = int(rng.choice(remaining))
         chosen.append(nxt)
         best = np.maximum(best, x @ x[nxt])
     cents = x[chosen].copy()

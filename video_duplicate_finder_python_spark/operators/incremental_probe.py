@@ -10,26 +10,40 @@ duplicate something we already have?" in O(delta) work. This operator
 does:
 
 - signatures for the new batch only (the Arrow kernel, O(delta));
-- the store side is ONE scan with the new batch's band hashes
-  **broadcast** against it — the 10^12-row store is never shuffled,
-  never banded into a window, never collected; a deployment that keeps
-  a materialized band index partitioned by band_hash turns the scan
-  into partition-pruned probes (same seam as `build_ann_index`);
-- skew-safe boilerplate guard with NO window: match counts per new doc
-  come from a map-side-combinable groupBy, and a new doc matching more
-  than ``max_matches_per_doc`` store docs is diverted to an ``overflow``
-  output (these are boilerplate/empty-page probes where "which exact
-  duplicates" is not an answerable question at bounded cost — the
-  caller sees the url + match count instead of a silent explosion);
+- **exactly two store passes**, both shuffle-free on the store side:
+  (1) the band probe — the batch's band hashes are **broadcast** against
+  one scan of the store's banded view, and the (tiny) candidate output
+  is persisted so every downstream action reuses it instead of
+  re-scanning; (2) the text fetch — a broadcast left-semi join pulls
+  text/simhash for just the matched url set. The 10^12-row store is
+  never shuffled, never windowed, never collected; a deployment that
+  keeps a materialized band index partitioned by band_hash turns pass
+  (1) into partition-pruned probes (same seam as ``build_ann_index``);
+- skew-safe boilerplate guard with NO window: candidate degree per new
+  doc (store matches AND within-batch matches) comes from a map-side-
+  combinable groupBy, and a new doc whose degree exceeds
+  ``max_matches_per_doc`` is diverted to an ``overflow`` output — these
+  are boilerplate/empty-page probes where "which exact duplicates" is
+  not an answerable question at bounded cost; the caller sees the url +
+  match count instead of a silent quadratic explosion (within-batch
+  pairs are capped by the same guard: a pair is dropped if EITHER
+  endpoint overflows);
 - exact verification reuses ``verify_candidates`` with shingle profiles
   recomputed ONLY for the matched url set (tiny by construction);
   within-batch (new×new) duplicates ride the same verify pass.
+
+Cache ownership follows the house pattern (plans/pipeline.py:492-494):
+the returned ``cached`` list holds every persisted handle this call
+created (the candidate table and verify's internal cache) — the caller
+must ``unpersist()`` them after running its actions, or a long-running
+stream accumulates cached frames without bound.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..config import DedupConfig
 from ..functions.signatures import make_shingles_udf
@@ -43,23 +57,29 @@ def probe_near_dups(
     new_docs: DataFrame,
     cfg: DedupConfig,
     max_matches_per_doc: int = 1024,
-) -> tuple[DataFrame, DataFrame]:
+    persist: bool = True,
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
     """``store(url, minhash, simhash, text, ...)`` (a SignatureStore
     snapshot / signatures checkpoint) × ``new_docs(url, text)`` →
-    ``(pairs, overflow)``.
+    ``(pairs, overflow, cached)``.
 
     ``pairs(new_url, other_url, is_new_other, jaccard, hamming, is_dup)``
     — every verified candidate where ``new_url`` is from the batch;
     ``other_url`` is a store url (``is_new_other`` false) or another
     batch url (true). ``overflow(new_url, n_matches)`` — batch docs whose
-    store-candidate count exceeded ``max_matches_per_doc`` (boilerplate
-    guard; no pairs are emitted for them).
+    candidate degree exceeded ``max_matches_per_doc`` (boilerplate guard;
+    no pairs are emitted for them). ``cached`` — persisted handles the
+    caller must unpersist after its actions (empty when
+    ``persist=False``, which re-runs the store band scan per action).
     """
+    caches: list[DataFrame] = []
     sigs_new = compute_signatures(new_docs, cfg, keep_cols=["url", "text"])
     bands_new = explode_bands(sigs_new, cfg).withColumnRenamed("url", "new_url")
 
-    # store scan with the (tiny) batch band table broadcast: candidates
-    # are store rows colliding with a batch band — no store-side shuffle
+    # store pass 1: band probe — batch bands broadcast against one scan
+    # of the banded store; the candidate output is tiny and persisted so
+    # the degree count, the anti-joins, and both returned actions reuse
+    # it instead of re-scanning the store
     bands_store = explode_bands(store, cfg)
     cand_old = (
         bands_store.join(F.broadcast(bands_new), ["band_id", "band_hash"])
@@ -67,11 +87,9 @@ def probe_near_dups(
         .select("new_url", F.col("url").alias("other_url"))
         .dropDuplicates(["new_url", "other_url"])
     )
-
-    # boilerplate guard: map-side-combinable count, no window anywhere
-    counts = cand_old.groupBy("new_url").agg(F.count(F.lit(1)).alias("n_matches"))
-    overflow = counts.where(F.col("n_matches") > max_matches_per_doc)
-    cand_old = cand_old.join(F.broadcast(overflow.select("new_url")), "new_url", "left_anti")
+    if persist:
+        cand_old = cand_old.persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(cand_old)
 
     # within-batch candidates (new x new) from the same band table
     b2 = bands_new.withColumnRenamed("new_url", "other_url")
@@ -82,15 +100,37 @@ def probe_near_dups(
         .dropDuplicates(["new_url", "other_url"])
     )
 
+    # boilerplate guard: candidate DEGREE per batch doc across both
+    # sources (a within-batch pair counts toward both endpoints) via a
+    # map-side-combinable groupBy — no window anywhere
+    degree = (
+        cand_old.select("new_url")
+        .unionAll(cand_new.select("new_url"))
+        .unionAll(cand_new.select(F.col("other_url").alias("new_url")))
+        .groupBy("new_url")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    overflow = degree.where(F.col("n_matches") > max_matches_per_doc)
+    ov_a = F.broadcast(overflow.select("new_url"))
+    ov_b = F.broadcast(overflow.select(F.col("new_url").alias("other_url")))
+    cand_old = cand_old.join(ov_a, "new_url", "left_anti")
+    cand_new = (
+        cand_new.join(ov_a, "new_url", "left_anti")
+        .join(ov_b, "other_url", "left_anti")
+    )
+
     cand = cand_old.withColumn("is_new_other", F.lit(False)).unionByName(
         cand_new.withColumn("is_new_other", F.lit(True))
     )
 
-    # profiles for exactly the urls verify will touch: the batch, plus the
-    # matched store rows (semi-join — tiny). Shingles recomputed for this
-    # set only, same policy as the batch pipeline's verify stage.
+    # store pass 2: text/simhash fetch for exactly the matched url set
+    # (broadcast left-semi — tiny by construction after the cap)
     matched_old = store.join(
-        F.broadcast(cand.where(~F.col("is_new_other")).select(F.col("other_url").alias("url")).distinct()),
+        F.broadcast(
+            cand.where(~F.col("is_new_other"))
+            .select(F.col("other_url").alias("url"))
+            .distinct()
+        ),
         "url",
         "left_semi",
     ).select("url", "text", "simhash")
@@ -110,8 +150,11 @@ def probe_near_dups(
         "url_a", "url_b", F.array(F.lit("minhash")).alias("sources")
     ).dropDuplicates(["url_a", "url_b"])
     verified = verify_candidates(candidates, profiles, cfg, texts=None)
+    vc = getattr(verified, "_vdf_cached", None)
+    if vc is not None:
+        caches.append(vc)
 
     pairs = oriented.join(verified, ["url_a", "url_b"]).select(
         "new_url", "other_url", "is_new_other", "jaccard", "hamming", "is_dup"
     )
-    return pairs, overflow
+    return pairs, overflow, caches

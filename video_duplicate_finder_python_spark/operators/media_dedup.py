@@ -148,11 +148,23 @@ def media_dup_pairs(
     Hamming ≤ ``phash_chunks - 1`` is a candidate (pigeonhole), then the
     full all-sampled-frames score decides. ``dropped`` counts bucket
     members beyond the cap (hot-frame skew metric, never silent).
+
+    ``persist=True`` caches the FRAME table itself (the mapInPandas DCT
+    stage) before deriving the banded view and both scoring join sides —
+    without it the frame-hash kernel re-runs once per consumer (~3× per
+    action); the handle joins the returned ``cached`` list the caller
+    unpersists.
     """
+    caches: list[DataFrame] = []
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        frames = frames.persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(frames)
     chunked = explode_chunks(
         frames.select("url", "frame_id", "phash"), "phash", 64, phash_chunks
     )
-    cand, dropped, cached = bucket_pairs(
+    cand, dropped, bp_cached = bucket_pairs(
         chunked,
         key_cols=["frame_id", "chunk_id", "chunk_value"],
         max_bucket_size=max_bucket_size,
@@ -200,7 +212,7 @@ def media_dup_pairs(
         )
         .where(F.col("score") >= threshold)
     )
-    return scored, dropped, cached
+    return scored, dropped, caches + bp_cached
 
 
 def media_dup_groups(pairs: DataFrame) -> DataFrame:

@@ -95,8 +95,13 @@ def semdedup(
     """
     assigned = assign_cells(embeddings, cents).select(
         # zero-padded string id: bucket_pairs orders by it and CC min()s
-        # it lexicographically — padding makes both match numeric order
-        F.lpad(F.col("vec_id").cast("string"), 12, "0").alias("vid"),
+        # it lexicographically — padding makes both match numeric order.
+        # Width 20 covers every non-negative int64 (19 digits): Spark's
+        # lpad TRUNCATES over-length inputs, so a narrower pad would
+        # silently collapse distinct ids at >= 10^12 — the exact scale
+        # this module targets. vec_id must be non-negative (a '-' sign
+        # breaks the lexicographic==numeric equivalence).
+        F.lpad(F.col("vec_id").cast("string"), 20, "0").alias("vid"),
         "embedding",
         "centroid_id",
         "cent_sim",

@@ -399,19 +399,25 @@ class StreamingSignatureIngest:
         if self.probe_dups_dir and manifest:
             # streaming dedup (opt-in, see __init__): probe BEFORE the
             # upsert so the batch is compared to the pre-batch corpus;
-            # within-batch pairs ride the same verify pass
+            # within-batch pairs ride the same verify pass. The write is
+            # an OVERWRITE of this batch's own partition dir — foreachBatch
+            # is at-least-once, so a replayed batch must replace (not
+            # append to) its previous attempt's pairs; and the count comes
+            # from the persisted dup frame, never from re-reading the
+            # (ever-growing) output dir
             from ..operators.incremental_probe import probe_near_dups
 
-            pairs, _overflow = probe_near_dups(
+            pairs, _overflow, probe_caches = probe_near_dups(
                 self.store.read(), docs.select("url", "text"), self.cfg
             )
-            dup = pairs.where("is_dup").withColumn("batch_id", F.lit(int(batch_id)))
-            dup.write.mode("append").parquet(self.probe_dups_dir)
-            probe_pairs = (
-                self.spark.read.parquet(self.probe_dups_dir)
-                .where(F.col("batch_id") == int(batch_id))
-                .count()
+            dup = pairs.where("is_dup").persist()
+            probe_pairs = dup.count()
+            dup.write.mode("overwrite").parquet(
+                f"{self.probe_dups_dir}/batch_id={int(batch_id)}"
             )
+            dup.unpersist()
+            for c in probe_caches:
+                c.unpersist()
         # `not manifest` covers the truncated-store case: clear_all() on a
         # never-written store leaves an empty manifest with no schema file,
         # so the upsert branch would crash on read() → None
