@@ -100,3 +100,51 @@ def test_store_side_not_shuffled(spark, store):
     assert "BroadcastHashJoin" in plan
     for c in caches:
         c.unpersist()
+
+
+def test_probe_batch_job(spark, store, tmp_path):
+    """jobs/probe_batch.py end-to-end in a subprocess (the job owns its
+    session): store parquet + new pages parquet -> verified pairs."""
+    import json
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    store_dir = str(tmp_path / "store")
+    store.write.mode("overwrite").parquet(store_dir)
+
+    old0 = store.where("url = 'https://old.example/0'").collect()[0]["text"]
+    pages = spark.createDataFrame(
+        [
+            ("https://new.example/exact", None,
+             f"<html><head><title>t</title></head><body><p>{old0}</p></body></html>".encode(),
+             None, "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    inp = str(tmp_path / "pages")
+    pages.write.mode("overwrite").parquet(inp)
+    out = str(tmp_path / "pairs")
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(repo)
+    env["PYSPARK_SUBMIT_ARGS"] = (
+        "--master local[4] --conf spark.sql.shuffle.partitions=8 pyspark-shell"
+    )
+    proc = subprocess.run(
+        [sys.executable, str(repo / "jobs" / "probe_batch.py"),
+         "--store", store_dir, "--input", inp, "--output", out],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = next(
+        ln for ln in proc.stdout.splitlines() if ln.startswith("VDF_PROBE_SUMMARY ")
+    )
+    summary = json.loads(line.split(" ", 1)[1])
+    assert summary["pairs"] == 1
+    rows = spark.read.parquet(out).collect()
+    assert rows[0].new_url == "https://new.example/exact"
+    assert rows[0].other_url == "https://old.example/0"
+    assert rows[0].jaccard == 1.0
