@@ -275,3 +275,31 @@ if HAVE_HYPOTHESIS:
         f = rng.integers(0, 128, size=(6, FRAME_SIDE, FRAME_SIDE), dtype=np.uint8)
         assert (phash64_batch(f) == phash64_batch((f * 2).astype(np.uint8))).all()
         assert (dhash64_batch(f) == dhash64_batch((f * 2).astype(np.uint8))).all()
+
+
+def test_boilerplate_frame_skew_capped(spark):
+    """A boilerplate first frame shared by many videos (the media analog
+    of the text pipeline's empty-page mega-bucket) must be CAPPED, with
+    the spill counted — never a quadratic explosion or a crash."""
+    rng = _rng(42)
+    header = rng.integers(0, 256, size=FRAME_BYTES, dtype=np.uint8).tobytes()
+    rows = []
+    for i in range(80):
+        tail = rng.integers(0, 256, size=3 * FRAME_BYTES, dtype=np.uint8).tobytes()
+        rows.append((f"http://boiler.test/v{i:03d}", header + tail))
+    df = spark.createDataFrame(rows, "url string, html binary")
+    frames = media_frame_hashes(df)
+    pairs, dropped, cached = media_dup_pairs(
+        frames, max_bucket_size=16, salt_threshold=None, persist=True
+    )
+    n_pairs = pairs.count()
+    n_dropped = dropped.collect()[0][0]
+    for c in cached:
+        c.unpersist()
+    # frame-0 buckets are hot (all 80 share the header's pHash chunks):
+    # members beyond the 16-cap are dropped and COUNTED
+    assert n_dropped > 0
+    # pair emission is bounded by the cap, not quadratic in 80:
+    # <= C(16,2) per (frame_id, chunk) bucket x 4 chunks, then the
+    # score threshold kills them (tails differ -> hash_sim ~ 0.25)
+    assert n_pairs == 0  # distinct tails: no pair scores >= 0.8
