@@ -169,11 +169,91 @@ def demo_semdedup(spark) -> dict:
     }
 
 
+
+
+def demo_probe(spark, n_store: int = 300_000, n_batch: int = 5_000) -> dict:
+    """O(delta) evidence for the incremental probe: a small batch against
+    a corpus-scale signature store, vs the O(corpus) full pipeline the
+    same question would otherwise cost (BENCH/SCALING_* measures that at
+    ~200-650 s for this store size). Store = the scaling bench's 300k
+    synthetic page corpus; batch = 50% byte-exact copies of store docs
+    (expected hits) + 50% fresh docs (expected misses)."""
+    from pyspark.sql import functions as F
+
+    from video_duplicate_finder_python_spark import DedupConfig
+    from video_duplicate_finder_python_spark.functions.text import extract_text_col
+    from video_duplicate_finder_python_spark.operators.incremental_probe import (
+        probe_near_dups,
+    )
+    from video_duplicate_finder_python_spark.operators.signature_stage import (
+        compute_signatures,
+    )
+
+    cfg = DedupConfig()
+    corpus = f"/tmp/vdf_bench_corpus_{n_store}"
+    from bench_core import synth_corpus_parquet
+
+    synth_corpus_parquet(spark, corpus, n_store)
+    pages = spark.read.parquet(corpus)
+    docs = pages.select("url", extract_text_col(F.col("html")).alias("text"))
+    store_path = f"/tmp/vdf_probe_store_{n_store}"
+    t0 = time.monotonic()
+    compute_signatures(docs, cfg, keep_cols=["url", "text"]).write.mode(
+        "overwrite"
+    ).parquet(store_path)
+    build_s = time.monotonic() - t0
+    store = spark.read.parquet(store_path)
+
+    half = n_batch // 2
+    copies = (
+        docs.orderBy(F.xxhash64("url"))
+        .limit(half)
+        .select(F.concat(F.lit("probe-copy:"), "url").alias("url"), "text")
+    )
+    fresh = spark.range(n_batch - half).select(
+        F.concat(F.lit("probe-fresh:"), F.col("id").cast("string")).alias("url"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(150)),
+                lambda i: F.concat(
+                    F.lit("fz"), F.col("id").cast("string"), F.lit("t"), i.cast("string")
+                ),
+            ),
+        ).alias("text"),
+    )
+    batch = copies.unionByName(fresh)
+
+    t0 = time.monotonic()
+    pairs, overflow, cached = probe_near_dups(store, batch, cfg)
+    dup = pairs.where("is_dup").persist()
+    n_pairs = dup.count()
+    hit_docs = dup.select("new_url").distinct().count()
+    n_overflow = overflow.count()
+    wall = time.monotonic() - t0
+    dup.unpersist()
+    for c in cached:
+        c.unpersist()
+    return {
+        "demo": "incremental_probe",
+        "store_docs": n_store,
+        "batch_docs": n_batch,
+        "store_build_s": round(build_s, 2),
+        "probe_wall_s": round(wall, 2),
+        "batch_docs_per_sec": round(n_batch / wall, 1),
+        "dup_pairs": n_pairs,
+        "batch_docs_with_dup": hit_docs,
+        "expected_copy_docs": half,
+        "overflow_docs": n_overflow,
+        "cpus": CPUS,
+    }
+
+
 def main() -> None:
     from bench_core import make_session
 
     spark = make_session(CPUS)
-    for fn in (demo_media, demo_semdedup):
+    for fn in (demo_media, demo_semdedup, demo_probe):
         print("SCALE_DEMO " + json.dumps(fn(spark)), flush=True)
     spark.stop()
 
