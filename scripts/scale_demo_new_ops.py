@@ -222,7 +222,11 @@ def demo_probe(spark, n_store: int = 300_000, n_batch: int = 5_000) -> dict:
             ),
         ).alias("text"),
     )
-    batch = copies.unionByName(fresh)
+    # materialize the batch BEFORE the clock: deriving the copies needs a
+    # full corpus extraction pass, which is demo setup, not probe cost
+    batch_path = f"/tmp/vdf_probe_batch_{n_store}_{n_batch}"
+    copies.unionByName(fresh).write.mode("overwrite").parquet(batch_path)
+    batch = spark.read.parquet(batch_path)
 
     t0 = time.monotonic()
     pairs, overflow, cached = probe_near_dups(store, batch, cfg)

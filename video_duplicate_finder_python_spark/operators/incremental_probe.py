@@ -74,6 +74,12 @@ def probe_near_dups(
     """
     caches: list[DataFrame] = []
     sigs_new = compute_signatures(new_docs, cfg, keep_cols=["url", "text"])
+    if persist:
+        # the batch signature kernel feeds the band broadcast (twice: the
+        # store probe and the within-batch self-join) AND the verify
+        # profiles — cache it or it re-runs once per consumer per action
+        sigs_new = sigs_new.persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(sigs_new)
     bands_new = explode_bands(sigs_new, cfg).withColumnRenamed("url", "new_url")
 
     # store pass 1: band probe — batch bands broadcast against one scan
