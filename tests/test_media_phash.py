@@ -303,3 +303,36 @@ def test_boilerplate_frame_skew_capped(spark):
     # <= C(16,2) per (frame_id, chunk) bucket x 4 chunks, then the
     # score threshold kills them (tails differ -> hash_sim ~ 0.25)
     assert n_pairs == 0  # distinct tails: no pair scores >= 0.8
+
+
+def test_media_retention_composition(spark):
+    """The media groups compose with the shared retention operator: one
+    kept video per perceptual-dup cluster, largest media first (the
+    media analog of keep-longest-text), reference's group-winner
+    semantics (database.py delete-then-insert keeps one row)."""
+    from video_duplicate_finder_python_spark.operators.retention import (
+        cluster_retention,
+    )
+
+    rows = _media_corpus()
+    df = spark.createDataFrame(rows, "url string, html binary")
+    frames = media_frame_hashes(df)
+    pairs, _, cached = media_dup_pairs(frames, persist=True)
+    clusters = media_dup_groups(pairs)
+    from pyspark.sql import functions as F
+
+    docs = df.select("url", F.length("html").alias("n_chars"))
+    decisions = cluster_retention(clusters, docs)
+    for c in cached:
+        c.unpersist()
+    got = decisions.collect()
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    sizes = {u: len(h) for u, h in rows}
+    assert len(by_cluster) == 8
+    for members in by_cluster.values():
+        kept = [m for m in members if m.is_kept]
+        assert len(kept) == 1
+        # winner is the largest media in its cluster
+        assert sizes[kept[0].url] == max(sizes[m.url] for m in members)
