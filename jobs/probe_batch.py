@@ -70,11 +70,21 @@ def main(argv: list[str] | None = None) -> None:
     )
     out = pairs if args.keep_all_scored else pairs.where("is_dup")
     out.write.mode("overwrite").parquet(args.output)
-    n_pairs = spark.read.parquet(args.output).count()
-    n_overflow = 0
+    written = spark.read.parquet(args.output)
+    rows_written = written.count()
+    # "pairs" always means VERIFIED dup pairs, regardless of
+    # --keep-all-scored (which only widens what lands in --output)
+    n_pairs = (
+        written.where("is_dup").count() if args.keep_all_scored else rows_written
+    )
+    # the overflow count is reported UNCONDITIONALLY — diverted
+    # boilerplate docs must never be silent (operator contract), with or
+    # without an --overflow-output sink
     if args.overflow_output:
         overflow.write.mode("overwrite").parquet(args.overflow_output)
         n_overflow = spark.read.parquet(args.overflow_output).count()
+    else:
+        n_overflow = overflow.count()
     for c in cached:
         c.unpersist()
 
@@ -84,6 +94,7 @@ def main(argv: list[str] | None = None) -> None:
             {
                 "wall_s": round(time.monotonic() - t0, 2),
                 "pairs": n_pairs,
+                "rows_written": rows_written,
                 "overflow_docs": n_overflow,
                 "output": args.output,
             }

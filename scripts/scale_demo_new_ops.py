@@ -1,18 +1,26 @@
-"""Capacity demonstration for the round-6 operators: perceptual-hash
-media dedup and SemDeDup at ~100x the bench scale, with planted-duplicate
-recall checks — the same evidence shape as the 300k/1M text-pipeline runs
-(BENCH/SCALING_R6_*.md).
+"""Capacity demonstration for the round-6 operators — three demos, one
+JSON line each, with planted-duplicate ground truth (the same evidence
+shape as the 300k/1M text-pipeline runs, BENCH/SCALING_R6_*.md):
 
-Inputs are synthesized INSIDE Spark (pure-JVM expressions, no driver-side
-data): deterministic pseudo-random media bytes / embedding vectors from
-xxhash64 chains, with every K-th item an exact (media) or near (embedding)
-duplicate of its predecessor. So the demo measures the operators, not a
-driver bottleneck, and recall has a known ground truth.
+1. perceptual-hash media dedup at ~100x the bench scale;
+2. SemDeDup at ~100x the bench scale;
+3. the incremental near-dup probe: a 5k-doc batch against a 300k-doc
+   signature store (store build + batch materialization are charged to
+   setup, not to the probe wall; resize via demo_probe's n_store/n_batch
+   params when calling it directly).
+
+Demo 1/2 inputs are synthesized INSIDE Spark (pure-JVM expressions, no
+driver-side data): deterministic pseudo-random media bytes / embedding
+vectors from xxhash64 chains, with every K-th item an exact (media) or
+near (embedding) duplicate of its predecessor. Demo 3 reuses the scaling
+bench's synthetic page corpus as the store and probes 50% byte-exact
+copies + 50% fresh docs. So each demo measures its operator, not a
+driver bottleneck, and recall has closed-form ground truth.
 
 Usage:
     python scripts/scale_demo_new_ops.py [n_media] [n_vectors] [cpus]
-defaults: 100_000 media docs, 200_000 vectors, 32 cpus. Prints one JSON
-line per demo.
+defaults: 100_000 media docs, 200_000 vectors, 32 cpus (the probe demo's
+300k/5k sizes are fixed in main()).
 """
 
 from __future__ import annotations

@@ -315,6 +315,16 @@ def test_media_retention_composition(spark):
     )
 
     rows = _media_corpus()
+    # one SIZE-DISTINGUISHABLE cluster: the planted exact/near dups are
+    # all byte-length-equal, which would make the largest-media assertion
+    # vacuous (any keeper ties). An extended copy (base + 1 extra frame)
+    # still scores 0.3*(8/9) + 0.7*1.0 ≈ 0.97 but is strictly larger, so
+    # ranking by size is actually exercised — and the tiebreak alone
+    # would pick the OTHER member (aaa < ext... no: 'a/base' < 'a/ext'),
+    # so a rank-by-url regression fails here.
+    base2 = _rng(123).integers(0, 256, size=8 * FRAME_BYTES, dtype=np.uint8).tobytes()
+    extra = _rng(124).integers(0, 256, size=FRAME_BYTES, dtype=np.uint8).tobytes()
+    rows = rows + [("http://size.test/a-small", base2), ("http://size.test/b-big", base2 + extra)]
     df = spark.createDataFrame(rows, "url string, html binary")
     frames = media_frame_hashes(df)
     pairs, _, cached = media_dup_pairs(frames, persist=True)
@@ -330,9 +340,14 @@ def test_media_retention_composition(spark):
     for r in got:
         by_cluster.setdefault(r.cluster_id, []).append(r)
     sizes = {u: len(h) for u, h in rows}
-    assert len(by_cluster) == 8
+    assert len(by_cluster) == 9
     for members in by_cluster.values():
         kept = [m for m in members if m.is_kept]
         assert len(kept) == 1
         # winner is the largest media in its cluster
         assert sizes[kept[0].url] == max(sizes[m.url] for m in members)
+    # the size cluster's keeper is the BIGGER member even though the url
+    # tiebreak alone would pick the smaller one ('a-small' < 'b-big')
+    kept_urls = {m.url for ms in by_cluster.values() for m in ms if m.is_kept}
+    assert "http://size.test/b-big" in kept_urls
+    assert "http://size.test/a-small" not in kept_urls

@@ -73,7 +73,12 @@ def probe_near_dups(
     ``persist=False``, which re-runs the store band scan per action).
     """
     caches: list[DataFrame] = []
-    sigs_new = compute_signatures(new_docs, cfg, keep_cols=["url", "text"])
+    # drop the CDC fingerprints STRUCTURALLY: no probe consumer reads
+    # them, and without the drop the persist below would materialize the
+    # per-byte CDC UDF pass Catalyst's column pruning otherwise removes
+    sigs_new = compute_signatures(new_docs, cfg, keep_cols=["url", "text"]).drop(
+        "fingerprints"
+    )
     if persist:
         # the batch signature kernel feeds the band broadcast (twice: the
         # store probe and the within-batch self-join) AND the verify
