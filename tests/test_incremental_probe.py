@@ -148,3 +148,43 @@ def test_probe_batch_job(spark, store, tmp_path):
     assert rows[0].new_url == "https://new.example/exact"
     assert rows[0].other_url == "https://old.example/0"
     assert rows[0].jaccard == 1.0
+
+
+def test_substring_source_catches_low_jaccard_span(spark, store):
+    """A new doc sharing a >=500-char verbatim span with a store doc at
+    Jaccard ~0.33 is invisible to the band probe but caught by the
+    CDC-fingerprint source + anchored-span verification (the pipeline's
+    'suffix' class, now incremental)."""
+    span = " ".join(f"sp{j}x{j % 9}" for j in range(150))       # ~900 chars
+    tail_a = " ".join(f"oa{j}h{j % 7}" for j in range(300))
+    tail_b = " ".join(f"nb{j}k{j % 7}" for j in range(300))
+    old = spark.createDataFrame(
+        [("https://old.example/span", span + " " + tail_a)], "url string, text string"
+    )
+    span_store = compute_signatures(old, CFG, keep_cols=["url", "text"])
+    new_docs = spark.createDataFrame(
+        [("https://new.example/span", span + " " + tail_b)], "url string, text string"
+    )
+    pairs, overflow, caches = probe_near_dups(span_store, new_docs, CFG)
+    got = pairs.collect()
+    assert overflow.count() == 0
+    for c in caches:
+        c.unpersist()
+    assert len(got) == 1
+    r = got[0]
+    assert r.other_url == "https://old.example/span"
+    assert r.jaccard < CFG.jaccard_threshold          # bands alone miss it
+    assert r.lcs_len >= CFG.substring_min_len
+    assert r.is_dup
+
+    # substring=False prunes the source: no pair at all
+    pairs2, _, caches2 = probe_near_dups(
+        span_store.drop("fingerprints"), new_docs, CFG, substring=False
+    )
+    assert pairs2.count() == 0
+    for c in caches2:
+        c.unpersist()
+
+    # substring=True on a store without fingerprints is a loud error
+    with pytest.raises(ValueError):
+        probe_near_dups(span_store.drop("fingerprints"), new_docs, CFG)

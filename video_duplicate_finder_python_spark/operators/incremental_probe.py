@@ -10,33 +10,38 @@ duplicate something we already have?" in O(delta) work. This operator
 does:
 
 - signatures for the new batch only (the Arrow kernel, O(delta));
-- **exactly two store passes**, both shuffle-free on the store side:
-  (1) the band probe — the batch's band hashes are **broadcast** against
-  one scan of the store's banded view, and the (tiny) candidate output
-  is persisted so every downstream action reuses it instead of
-  re-scanning; (2) the text fetch — a broadcast left-semi join pulls
-  text/simhash for just the matched url set. The 10^12-row store is
-  never shuffled, never windowed, never collected; a deployment that
-  keeps a materialized band index partitioned by band_hash turns pass
-  (1) into partition-pruned probes (same seam as ``build_ann_index``);
+- **one store pass per enabled candidate source plus one text fetch**,
+  every one shuffle-free on the store side: the MinHash band probe and
+  (with ``substring=True``) the CDC-fingerprint probe each broadcast the
+  batch's keys against one scan of the store's exploded view, and the
+  (tiny) candidate output is persisted so downstream actions reuse it;
+  the text fetch is a broadcast left-semi join pulling text/simhash for
+  just the matched url set. The 10^12-row store is never shuffled, never
+  windowed, never collected; a deployment that keeps materialized
+  band/fingerprint indexes partitioned by hash turns the scans into
+  partition-pruned probes (same seam as ``build_ann_index``);
+- the fingerprint source closes the recall class the band probe alone
+  misses: a batch doc sharing a >= ``substring_min_len`` verbatim span
+  with a store doc at LOW overall Jaccard (the pipeline's "suffix"
+  source, operators/substring.py) — verified through the same
+  anchored-span check `verify_candidates` runs for the batch pipeline;
 - skew-safe boilerplate guard with NO window: candidate degree per new
-  doc (store matches AND within-batch matches) comes from a map-side-
-  combinable groupBy, and a new doc whose degree exceeds
-  ``max_matches_per_doc`` is diverted to an ``overflow`` output — these
-  are boilerplate/empty-page probes where "which exact duplicates" is
-  not an answerable question at bounded cost; the caller sees the url +
-  match count instead of a silent quadratic explosion (within-batch
-  pairs are capped by the same guard: a pair is dropped if EITHER
-  endpoint overflows);
+  doc (store matches AND within-batch matches, across all sources)
+  comes from a map-side-combinable groupBy, and a new doc whose degree
+  exceeds ``max_matches_per_doc`` is diverted to an ``overflow`` output
+  — these are boilerplate/empty-page probes where "which exact
+  duplicates" is not an answerable question at bounded cost; the caller
+  sees the url + match count instead of a silent quadratic explosion
+  (within-batch pairs are dropped if EITHER endpoint overflows);
 - exact verification reuses ``verify_candidates`` with shingle profiles
   recomputed ONLY for the matched url set (tiny by construction);
   within-batch (new×new) duplicates ride the same verify pass.
 
 Cache ownership follows the house pattern (plans/pipeline.py:492-494):
 the returned ``cached`` list holds every persisted handle this call
-created (the candidate table and verify's internal cache) — the caller
-must ``unpersist()`` them after running its actions, or a long-running
-stream accumulates cached frames without bound.
+created (batch signatures, the candidate tables, verify's internal
+cache) — the caller must ``unpersist()`` them after running its actions,
+or a long-running stream accumulates cached frames without bound.
 """
 
 from __future__ import annotations
@@ -58,61 +63,97 @@ def probe_near_dups(
     cfg: DedupConfig,
     max_matches_per_doc: int = 1024,
     persist: bool = True,
+    substring: bool = True,
 ) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
-    """``store(url, minhash, simhash, text, ...)`` (a SignatureStore
-    snapshot / signatures checkpoint) × ``new_docs(url, text)`` →
-    ``(pairs, overflow, cached)``.
+    """``store(url, minhash, simhash, text[, fingerprints], ...)`` (a
+    SignatureStore snapshot / signatures checkpoint) × ``new_docs(url,
+    text)`` → ``(pairs, overflow, cached)``.
 
-    ``pairs(new_url, other_url, is_new_other, jaccard, hamming, is_dup)``
-    — every verified candidate where ``new_url`` is from the batch;
-    ``other_url`` is a store url (``is_new_other`` false) or another
-    batch url (true). ``overflow(new_url, n_matches)`` — batch docs whose
+    ``pairs(new_url, other_url, is_new_other, jaccard, hamming, lcs_len,
+    is_dup)`` — every verified candidate where ``new_url`` is from the
+    batch; ``other_url`` is a store url (``is_new_other`` false) or
+    another batch url (true); ``lcs_len`` is the exact verbatim-span
+    length for fingerprint-source pairs that needed the substring check
+    (NULL otherwise). ``overflow(new_url, n_matches)`` — batch docs whose
     candidate degree exceeded ``max_matches_per_doc`` (boilerplate guard;
     no pairs are emitted for them). ``cached`` — persisted handles the
-    caller must unpersist after its actions (empty when
-    ``persist=False``, which re-runs the store band scan per action).
+    caller must unpersist after its actions.
+
+    ``substring=True`` requires a ``fingerprints`` column on the store
+    (every SignatureStore / compute_signatures output has one) and adds
+    the CDC-fingerprint candidate source; ``False`` skips it AND prunes
+    the batch-side CDC kernel structurally.
     """
+    if substring and "fingerprints" not in store.columns:
+        raise ValueError(
+            "substring=True needs a 'fingerprints' column on the store "
+            "(compute_signatures output); pass substring=False to probe "
+            "with MinHash bands only"
+        )
     caches: list[DataFrame] = []
-    # drop the CDC fingerprints STRUCTURALLY: no probe consumer reads
-    # them, and without the drop the persist below would materialize the
-    # per-byte CDC UDF pass Catalyst's column pruning otherwise removes
-    sigs_new = compute_signatures(new_docs, cfg, keep_cols=["url", "text"]).drop(
-        "fingerprints"
-    )
+    sigs_new = compute_signatures(new_docs, cfg, keep_cols=["url", "text"])
+    if not substring:
+        # drop the CDC fingerprints STRUCTURALLY: nothing reads them, and
+        # the persist below would otherwise materialize the per-byte CDC
+        # UDF pass Catalyst's column pruning normally removes
+        sigs_new = sigs_new.drop("fingerprints")
     if persist:
-        # the batch signature kernel feeds the band broadcast (twice: the
-        # store probe and the within-batch self-join) AND the verify
+        # the batch signature kernel feeds every candidate source (store
+        # probe + within-batch self-join, per source) AND the verify
         # profiles — cache it or it re-runs once per consumer per action
         sigs_new = sigs_new.persist(StorageLevel.MEMORY_AND_DISK)
         caches.append(sigs_new)
-    bands_new = explode_bands(sigs_new, cfg).withColumnRenamed("url", "new_url")
 
-    # store pass 1: band probe — batch bands broadcast against one scan
-    # of the banded store; the candidate output is tiny and persisted so
-    # the degree count, the anti-joins, and both returned actions reuse
-    # it instead of re-scanning the store
+    # --- candidate sources: per source, one broadcast store probe + one
+    # within-batch self-join, each row tagged with its source name -------
+    bands_new = explode_bands(sigs_new, cfg).withColumnRenamed("url", "new_url")
     bands_store = explode_bands(store, cfg)
-    cand_old = (
+    old_parts = [
         bands_store.join(F.broadcast(bands_new), ["band_id", "band_hash"])
         .where(F.col("url") != F.col("new_url"))
-        .select("new_url", F.col("url").alias("other_url"))
-        .dropDuplicates(["new_url", "other_url"])
-    )
+        .select("new_url", F.col("url").alias("other_url"), F.lit("minhash").alias("src"))
+    ]
+    b2 = bands_new.withColumnRenamed("new_url", "other_url")
+    new_parts = [
+        bands_new.join(b2, ["band_id", "band_hash"])
+        .where(F.col("new_url") < F.col("other_url"))
+        .select("new_url", "other_url", F.lit("minhash").alias("src"))
+    ]
+    if substring:
+        fp_new = sigs_new.select(
+            F.col("url").alias("new_url"), F.explode("fingerprints").alias("fp")
+        ).dropDuplicates(["new_url", "fp"])
+        fp_store = store.select("url", F.explode("fingerprints").alias("fp"))
+        old_parts.append(
+            fp_store.join(F.broadcast(fp_new), "fp")
+            .where(F.col("url") != F.col("new_url"))
+            .select(
+                "new_url", F.col("url").alias("other_url"), F.lit("suffix").alias("src")
+            )
+        )
+        fp2 = fp_new.withColumnRenamed("new_url", "other_url")
+        new_parts.append(
+            fp_new.join(fp2, "fp")
+            .where(F.col("new_url") < F.col("other_url"))
+            .select("new_url", "other_url", F.lit("suffix").alias("src"))
+        )
+
+    def collect_pairs(parts: list[DataFrame]) -> DataFrame:
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u.groupBy("new_url", "other_url").agg(
+            F.collect_set("src").alias("sources")
+        )
+
+    cand_old = collect_pairs(old_parts)
     if persist:
         cand_old = cand_old.persist(StorageLevel.MEMORY_AND_DISK)
         caches.append(cand_old)
-
-    # within-batch candidates (new x new) from the same band table
-    b2 = bands_new.withColumnRenamed("new_url", "other_url")
-    cand_new = (
-        bands_new.join(b2, ["band_id", "band_hash"])
-        .where(F.col("new_url") < F.col("other_url"))
-        .select("new_url", "other_url")
-        .dropDuplicates(["new_url", "other_url"])
-    )
+    cand_new = collect_pairs(new_parts)
 
     # boilerplate guard: candidate DEGREE per batch doc across both
-    # sources (a within-batch pair counts toward both endpoints) via a
+    # sides (a within-batch pair counts toward both endpoints) via a
     # map-side-combinable groupBy — no window anywhere
     degree = (
         cand_old.select("new_url")
@@ -134,8 +175,10 @@ def probe_near_dups(
         cand_new.withColumn("is_new_other", F.lit(True))
     )
 
-    # store pass 2: text/simhash fetch for exactly the matched url set
-    # (broadcast left-semi — tiny by construction after the cap)
+    # store text fetch for exactly the urls verify will touch: the batch,
+    # plus the matched store rows (broadcast left-semi — tiny after the
+    # cap). Shingles recomputed for this set only, same policy as the
+    # batch pipeline's verify stage.
     matched_old = store.join(
         F.broadcast(
             cand.where(~F.col("is_new_other"))
@@ -154,18 +197,24 @@ def probe_near_dups(
         "new_url",
         "other_url",
         "is_new_other",
+        "sources",
         F.least("new_url", "other_url").alias("url_a"),
         F.greatest("new_url", "other_url").alias("url_b"),
     )
-    candidates = oriented.select(
-        "url_a", "url_b", F.array(F.lit("minhash")).alias("sources")
-    ).dropDuplicates(["url_a", "url_b"])
-    verified = verify_candidates(candidates, profiles, cfg, texts=None)
+    candidates = oriented.select("url_a", "url_b", "sources").dropDuplicates(
+        ["url_a", "url_b"]
+    )
+    verified = verify_candidates(
+        candidates,
+        profiles,
+        cfg,
+        texts=profile_src.select("url", "text") if substring else None,
+    )
     vc = getattr(verified, "_vdf_cached", None)
     if vc is not None:
         caches.append(vc)
 
-    pairs = oriented.join(verified, ["url_a", "url_b"]).select(
-        "new_url", "other_url", "is_new_other", "jaccard", "hamming", "is_dup"
+    pairs = oriented.join(verified.drop("sources"), ["url_a", "url_b"]).select(
+        "new_url", "other_url", "is_new_other", "jaccard", "hamming", "lcs_len", "is_dup"
     )
     return pairs, overflow, caches
