@@ -260,3 +260,72 @@ def test_read_warc_ignores_in_progress_temp_files(spark, corpus, tmp_path):
     (d / "seg-04.warc.part").write_bytes(b"WARC/1.0\r\n")
     got = read_warc(spark, str(d)).select("url").distinct().count()
     assert got == 240  # the 3 finished segments only, temp files unseen
+
+
+def test_wet_conversion_records(spark, tmp_path):
+    """WET (.wet.gz) conversion records: extracted text lands in `html`,
+    language from WARC-Identified-Content-Language, and the extraction
+    invariant holds as the identity (tag-free text passes through
+    byte-identically) — so WET input feeds the same pipeline."""
+    from video_duplicate_finder_python_spark.functions.text import (
+        extract_text_bytes,
+    )
+    from video_duplicate_finder_python_spark.sources.warc import (
+        build_wet_bytes,
+        read_warc,
+    )
+
+    texts = {
+        "https://wet.example/a": "plain extracted text one two three",
+        "https://wet.example/b": "another page entirely different words",
+    }
+    data = build_wet_bytes(
+        [
+            {"url": u, "text": t, "warc_ts": None, "lang": "eng,rus"}
+            for u, t in sorted(texts.items())
+        ],
+        gzip_members=True,
+    )
+    (tmp_path / "part.wet.gz").write_bytes(data)
+    rows = read_warc(spark, str(tmp_path)).collect()
+    assert {r.url for r in rows} == set(texts)
+    for r in rows:
+        assert r.content_type == "text/plain"
+        assert r.lang == "eng"  # first identified language wins
+        raw = bytes(r.html)
+        assert raw.decode("utf-8") == texts[r.url]
+        # extraction identity on tag-free text: the pipeline's extract
+        # stage returns WET text byte-identically
+        assert extract_text_bytes(raw) == texts[r.url]
+
+
+def test_mixed_warc_and_wet_dir(spark, tmp_path):
+    """A directory holding both .warc.gz and .wet.gz is read in one pass;
+    response and conversion records coexist in the pages table."""
+    from video_duplicate_finder_python_spark.sources.warc import (
+        build_warc_bytes,
+        build_wet_bytes,
+        read_warc,
+    )
+
+    warc = build_warc_bytes(
+        [
+            {
+                "url": "https://mixed.example/html",
+                "warc_ts": None,
+                "html": b"<html><body><p>from warc</p></body></html>",
+                "lang": "en",
+            }
+        ],
+        gzip_members=True,
+    )
+    wet = build_wet_bytes(
+        [{"url": "https://mixed.example/wet", "text": "from wet", "warc_ts": None}],
+        gzip_members=True,
+    )
+    (tmp_path / "a.warc.gz").write_bytes(warc)
+    (tmp_path / "b.wet.gz").write_bytes(wet)
+    rows = {r.url: r for r in read_warc(spark, str(tmp_path)).collect()}
+    assert set(rows) == {"https://mixed.example/html", "https://mixed.example/wet"}
+    assert rows["https://mixed.example/html"].content_type == "text/html"
+    assert rows["https://mixed.example/wet"].content_type == "text/plain"

@@ -4,8 +4,11 @@ The reference walks a directory of media files (scanner.py:65-75); the
 web-scale analog of "the filesystem full of inputs" is a bucket of WARC
 files — the container format every major crawl (Common Crawl, Internet
 Archive, Heritrix output) ships. This module turns a glob of ``.warc`` /
-``.warc.gz`` files into the engine's pages table ``(url, warc_ts, html,
-lang)`` so the whole dedup DAG runs unchanged on crawl data.
+``.warc.gz`` / ``.wet`` / ``.wet.gz`` files into the engine's pages table
+``(url, warc_ts, html, lang)`` so the whole dedup DAG runs unchanged on
+crawl data — WET ``conversion`` records (Common Crawl's extracted-text
+sidecar) carry their plain text straight through, since extraction is the
+identity on tag-free text.
 
 Spark-first shape
 -----------------
@@ -199,22 +202,47 @@ def _parse_warc_date(value: str | None):
 
 
 def _records_to_rows(file_path: str, data: bytes, html_only: bool):
-    """Yield pages-schema tuples for the response records of one file."""
+    """Yield pages-schema tuples for the page-bearing records of one file.
+
+    Two record classes carry pages:
+
+    - ``response`` / ``resource`` (.warc): payload is an HTTP envelope —
+      split it, body = the HTTP body (html bytes).
+    - ``conversion`` (.wet — Common Crawl's extracted-text sidecar,
+      ISO 28500 §6.8): payload IS the extracted plain text, no HTTP
+      envelope to split. The text flows into the ``html`` column
+      unchanged — extraction is the identity on tag-free text (see
+      functions/text.py), so WET input feeds the same pipeline with the
+      decode step effectively pre-done by the crawler. Language comes
+      from ``WARC-Identified-Content-Language`` when present (ISO 639-3
+      codes; first one wins). ``html_only`` does not drop conversion
+      records: their text/plain IS the page.
+    """
     for headers, payload in iter_warc_records(data):
-        if headers.get("warc-type") not in ("response", "resource"):
-            continue  # warcinfo / request / metadata records carry no page
+        wtype = headers.get("warc-type")
         url = headers.get("warc-target-uri")
         if not url:
             continue
-        http_headers, body = split_http_payload(payload)
-        ctype = http_headers.get(
-            "content-type", headers.get("content-type", "")
-        ).split(";")[0].strip().lower()
-        if html_only and ctype not in ("text/html", "application/xhtml+xml", ""):
-            continue
-        lang = http_headers.get("content-language")
-        if lang:
-            lang = lang.split(",")[0].strip().lower()[:2] or None
+        if wtype == "conversion":
+            body = payload
+            ctype = (
+                headers.get("content-type", "text/plain")
+                .split(";")[0].strip().lower()
+            )
+            lang = headers.get("warc-identified-content-language")
+            lang = lang.split(",")[0].strip().lower() or None if lang else None
+        elif wtype in ("response", "resource"):
+            http_headers, body = split_http_payload(payload)
+            ctype = http_headers.get(
+                "content-type", headers.get("content-type", "")
+            ).split(";")[0].strip().lower()
+            if html_only and ctype not in ("text/html", "application/xhtml+xml", ""):
+                continue
+            lang = http_headers.get("content-language")
+            if lang:
+                lang = lang.split(",")[0].strip().lower()[:2] or None
+        else:
+            continue  # warcinfo / request / metadata records carry no page
         yield (
             url,
             _parse_warc_date(headers.get("warc-date")),
@@ -254,12 +282,14 @@ def read_warc(
     spark: SparkSession,
     path: str,
     html_only: bool = True,
-    path_glob_filter: str | None = "*.{warc,warc.gz}",
+    path_glob_filter: str | None = "*.{warc,warc.gz,wet,wet.gz}",
 ) -> DataFrame:
-    """Read ``.warc`` / ``.warc.gz`` files under ``path`` into the pages
-    table ``(url, warc_ts, html, lang, content_type, record_id,
-    source_file)`` — drop the extra columns and the result feeds
-    ``DedupPipeline.run`` directly.
+    """Read ``.warc`` / ``.warc.gz`` / ``.wet`` / ``.wet.gz`` files under
+    ``path`` into the pages table ``(url, warc_ts, html, lang,
+    content_type, record_id, source_file)`` — drop the extra columns and
+    the result feeds ``DedupPipeline.run`` directly (WET conversion
+    records land their extracted text in ``html``; extraction is the
+    identity on tag-free text, see _records_to_rows).
 
     One map task per file (binaryFile never splits — required, see module
     docstring), no shuffle; predicate ``html_only`` drops non-HTML
@@ -307,6 +337,43 @@ def build_warc_bytes(records: list[dict], gzip_members: bool = False) -> bytes:
             b"Content-Length: " + str(len(payload)).encode("ascii"),
         ]
         record = _CRLF.join(warc_headers) + _HDR_SEP + payload + _HDR_SEP
+        if gzip_members:
+            co = zlib.compressobj(9, zlib.DEFLATED, zlib.MAX_WBITS | 16)
+            record = co.compress(record) + co.flush()
+        out.write(record)
+    return out.getvalue()
+
+
+def build_wet_bytes(records: list[dict], gzip_members: bool = False) -> bytes:
+    """Serialize page dicts (url, warc_ts, text, lang) into WET bytes —
+    ``conversion`` records whose payload is the extracted text directly
+    (no HTTP envelope), the Common Crawl ``.wet`` layout. Deterministic,
+    same conventions as build_warc_bytes."""
+    out = io.BytesIO()
+    for rec in records:
+        text: bytes = rec["text"].encode("utf-8") if isinstance(
+            rec["text"], str
+        ) else rec["text"]
+        ts = rec.get("warc_ts")
+        date = (
+            ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts is not None
+            else "2025-01-01T00:00:00Z"
+        )
+        warc_headers = [
+            b"WARC/1.0",
+            b"WARC-Type: conversion",
+            b"WARC-Target-URI: " + rec["url"].encode("utf-8"),
+            b"WARC-Date: " + date.encode("ascii"),
+            b"WARC-Record-ID: <urn:uuid:" + rec["url"].encode("utf-8") + b">",
+            b"Content-Type: text/plain",
+        ]
+        lang = rec.get("lang")
+        if lang:
+            warc_headers.append(
+                b"WARC-Identified-Content-Language: " + lang.encode("ascii")
+            )
+        warc_headers.append(b"Content-Length: " + str(len(text)).encode("ascii"))
+        record = _CRLF.join(warc_headers) + _HDR_SEP + text + _HDR_SEP
         if gzip_members:
             co = zlib.compressobj(9, zlib.DEFLATED, zlib.MAX_WBITS | 16)
             record = co.compress(record) + co.flush()
