@@ -126,6 +126,62 @@ def main() -> None:
 
     queries["media_phash_pairs"] = round(min(media_run() for _ in range(3)), 3)
 
+    # incremental near-dup probe (round 6, operators/incremental_probe.py):
+    # 250-doc batch (125 byte-copies + 125 fresh) against a signature
+    # store built from the full sf corpus — the O(delta) "is this batch
+    # new?" path, both candidate sources (bands + CDC fingerprints)
+    from pyspark.sql import functions as F
+
+    from video_duplicate_finder_python_spark.functions.text import (
+        extract_text_col as _extract,
+    )
+    from video_duplicate_finder_python_spark.operators.incremental_probe import (
+        probe_near_dups,
+    )
+    from video_duplicate_finder_python_spark.operators.signature_stage import (
+        compute_signatures as _sigs,
+    )
+    from video_duplicate_finder_python_spark import DedupConfig as _Cfg
+
+    _cfg = _Cfg()
+    _docs = documents_as_pages(spark, sf_dir).select(
+        "url", _extract(F.col("html")).alias("text")
+    )
+    with tempfile.TemporaryDirectory() as _tmp:
+        _store_path = f"{_tmp}/probe_store"
+        _sigs(_docs, _cfg, keep_cols=["url", "text"]).write.parquet(_store_path)
+        _store = spark.read.parquet(_store_path)
+        _copies = _docs.orderBy(F.xxhash64("url")).limit(125).select(
+            F.concat(F.lit("copy:"), "url").alias("url"), "text"
+        )
+        _fresh = spark.range(125).select(
+            F.concat(F.lit("fresh:"), F.col("id").cast("string")).alias("url"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(120)),
+                    lambda i: F.concat(
+                        F.lit("pf"), F.col("id").cast("string"), F.lit("w"),
+                        i.cast("string"),
+                    ),
+                ),
+            ).alias("text"),
+        )
+        _batch_path = f"{_tmp}/probe_batch"
+        _copies.unionByName(_fresh).write.parquet(_batch_path)
+        _batch = spark.read.parquet(_batch_path)
+
+        def probe_run() -> float:
+            t0 = time.monotonic()
+            pairs, overflow, cached = probe_near_dups(_store, _batch, _cfg)
+            force(pairs.where("is_dup"))
+            wall = time.monotonic() - t0
+            for c in cached:
+                c.unpersist()
+            return wall
+
+        queries["probe_batch250"] = round(min(probe_run() for _ in range(3)), 3)
+
     # SemDeDup semantic dedup (round 6, operators/semdedup.py): k-means
     # cells → within-cell cosine pairs → CC groups → keep-the-outlier.
     # eps=0.6 here because the synthetic embeddings carry no true
