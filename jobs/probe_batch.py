@@ -11,11 +11,14 @@ streaming ingest's opt-in per-batch probe:
         [--overflow-output s3://bucket/dedup/probe/2026-08-18-overflow] \
         [--max-matches-per-doc 1024] [--langs en]
 
-Cost model (see the operator docstring): batch-only signatures, two
-shuffle-free store passes (broadcast band probe + matched-set text
-fetch). Output pairs carry (new_url, other_url, is_new_other, jaccard,
-hamming, is_dup); only verified rows (is_dup) are written unless
---keep-all-scored is passed.
+Cost model (see the operator docstring): batch-only signatures, one
+shuffle-free store pass per candidate source (MinHash bands, plus CDC
+fingerprints unless --bands-only) + the matched-set text fetch. Output
+pairs carry (new_url, other_url, is_new_other, jaccard, hamming,
+lcs_len, is_dup); only verified rows (is_dup) are written unless
+--keep-all-scored is passed. --bands-only skips the substring source —
+required for stores without a fingerprints column, cheaper everywhere
+else at the cost of the low-Jaccard verbatim-span recall class.
 """
 
 from __future__ import annotations
@@ -34,6 +37,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--overflow-output", default=None)
     p.add_argument("--max-matches-per-doc", type=int, default=1024)
     p.add_argument("--langs", default=None, help="comma-separated lang filter")
+    p.add_argument(
+        "--bands-only",
+        action="store_true",
+        help="probe with MinHash bands only (skip the CDC-fingerprint "
+        "substring source; required for stores without a fingerprints "
+        "column)",
+    )
     p.add_argument(
         "--keep-all-scored",
         action="store_true",
@@ -66,7 +76,11 @@ def main(argv: list[str] | None = None) -> None:
 
     cfg = DedupConfig()
     pairs, overflow, cached = probe_near_dups(
-        store, new_docs, cfg, max_matches_per_doc=args.max_matches_per_doc
+        store,
+        new_docs,
+        cfg,
+        max_matches_per_doc=args.max_matches_per_doc,
+        substring=not args.bands_only,
     )
     out = pairs if args.keep_all_scored else pairs.where("is_dup")
     out.write.mode("overwrite").parquet(args.output)

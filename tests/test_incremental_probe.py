@@ -188,3 +188,36 @@ def test_substring_source_catches_low_jaccard_span(spark, store):
     # substring=True on a store without fingerprints is a loud error
     with pytest.raises(ValueError):
         probe_near_dups(span_store.drop("fingerprints"), new_docs, CFG)
+
+
+def test_recrawl_batch_url_shadows_store_row(spark, store):
+    """A url in BOTH batch and store (streaming re-crawl: probe runs
+    before the upsert) must not create ambiguous/conflicting pairs: the
+    batch's text is authoritative for its own url, the store row it
+    shadows is excluded from candidates and profiles. A second batch doc
+    duplicating that url pairs against the BATCH text exactly once."""
+    recrawl_text = _doc(["rc1", "rc2", "rc3", "fresh"])
+    new_docs = spark.createDataFrame(
+        [
+            # re-crawl of an existing store url with drifted content
+            ("https://old.example/0", recrawl_text),
+            # another batch doc duplicating the re-crawled content
+            ("https://new.example/twin", recrawl_text),
+        ],
+        "url string, text string",
+    )
+    pairs, overflow, caches = probe_near_dups(store, new_docs, CFG)
+    got = pairs.collect()
+    assert overflow.count() == 0
+    for c in caches:
+        c.unpersist()
+    # exactly ONE pair row: the within-batch twin against the batch text;
+    # no pair against the shadowed store version of old.example/0, and no
+    # duplicated/conflicting rows for the same pair
+    assert len(got) == 1
+    r = got[0]
+    assert {r.new_url, r.other_url} == {
+        "https://old.example/0",
+        "https://new.example/twin",
+    }
+    assert r.is_new_other and r.is_dup and r.jaccard == 1.0

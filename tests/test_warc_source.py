@@ -287,11 +287,13 @@ def test_wet_conversion_records(spark, tmp_path):
         gzip_members=True,
     )
     (tmp_path / "part.wet.gz").write_bytes(data)
-    rows = read_warc(spark, str(tmp_path)).collect()
+    rows = read_warc(
+        spark, str(tmp_path), path_glob_filter="*.{wet,wet.gz}"
+    ).collect()
     assert {r.url for r in rows} == set(texts)
     for r in rows:
         assert r.content_type == "text/plain"
-        assert r.lang == "eng"  # first identified language wins
+        assert r.lang == "en"  # first identified language, 639-3 -> 639-1
         raw = bytes(r.html)
         assert raw.decode("utf-8") == texts[r.url]
         # extraction identity on tag-free text: the pipeline's extract
@@ -325,7 +327,15 @@ def test_mixed_warc_and_wet_dir(spark, tmp_path):
     )
     (tmp_path / "a.warc.gz").write_bytes(warc)
     (tmp_path / "b.wet.gz").write_bytes(wet)
-    rows = {r.url: r for r in read_warc(spark, str(tmp_path)).collect()}
+    # combined glob is EXPLICIT: the default excludes .wet (sidecar
+    # double-ingest hazard, see read_warc docstring)
+    rows = {
+        r.url: r
+        for r in read_warc(
+            spark, str(tmp_path), path_glob_filter="*.{warc.gz,wet.gz}"
+        ).collect()
+    }
+    assert read_warc(spark, str(tmp_path)).count() == 1  # default: warc only
     assert set(rows) == {"https://mixed.example/html", "https://mixed.example/wet"}
     assert rows["https://mixed.example/html"].content_type == "text/html"
     assert rows["https://mixed.example/wet"].content_type == "text/plain"

@@ -91,6 +91,17 @@ def probe_near_dups(
             "with MinHash bands only"
         )
     caches: list[DataFrame] = []
+    # a url present in BOTH batch and store (streaming re-crawl: the probe
+    # runs before the upsert) would make "other_url is a store url"
+    # ambiguous — the same pair would appear against the store's OLD text
+    # and the batch's NEW text with different scores/sources, fanning the
+    # verify join into conflicting duplicate rows. The batch is
+    # authoritative for its own urls: store rows they shadow are excluded
+    # from candidates AND profiles (broadcast anti — the store side stays
+    # shuffle-free).
+    store = store.join(
+        F.broadcast(new_docs.select("url").distinct()), "url", "left_anti"
+    )
     sigs_new = compute_signatures(new_docs, cfg, keep_cols=["url", "text"])
     if not substring:
         # drop the CDC fingerprints STRUCTURALLY: nothing reads them, and
@@ -120,9 +131,11 @@ def probe_near_dups(
         .select("new_url", "other_url", F.lit("minhash").alias("src"))
     ]
     if substring:
+        # cdc_fingerprints emits a distinct set per doc, so the exploded
+        # (url, fp) rows are unique by construction — no dedup needed
         fp_new = sigs_new.select(
             F.col("url").alias("new_url"), F.explode("fingerprints").alias("fp")
-        ).dropDuplicates(["new_url", "fp"])
+        )
         fp_store = store.select("url", F.explode("fingerprints").alias("fp"))
         old_parts.append(
             fp_store.join(F.broadcast(fp_new), "fp")

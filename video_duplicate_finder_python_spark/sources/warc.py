@@ -180,6 +180,21 @@ def split_http_payload(payload: bytes) -> tuple[dict, bytes]:
     return headers, payload[sep + len(_HDR_SEP) :]
 
 
+# ISO 639-3 → 639-1 for the languages that dominate web crawls; WET's
+# WARC-Identified-Content-Language uses the 3-letter codes while HTTP
+# Content-Language (the response branch) uses 2-letter — one pages table
+# must not mix formats or exact-match lang filters silently drop WET rows
+_ISO639_3_TO_1 = {
+    "eng": "en", "rus": "ru", "deu": "de", "ger": "de", "fra": "fr",
+    "fre": "fr", "spa": "es", "ita": "it", "por": "pt", "nld": "nl",
+    "dut": "nl", "pol": "pl", "tur": "tr", "ces": "cs", "cze": "cs",
+    "zho": "zh", "chi": "zh", "jpn": "ja", "kor": "ko", "ara": "ar",
+    "hin": "hi", "vie": "vi", "ind": "id", "swe": "sv", "dan": "da",
+    "nor": "no", "fin": "fi", "ell": "el", "gre": "el", "heb": "he",
+    "tha": "th", "ukr": "uk", "ron": "ro", "rum": "ro", "hun": "hu",
+    "cat": "ca", "fas": "fa", "per": "fa",
+}
+
 _TS_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})")
 
 
@@ -230,7 +245,15 @@ def _records_to_rows(file_path: str, data: bytes, html_only: bool):
                 .split(";")[0].strip().lower()
             )
             lang = headers.get("warc-identified-content-language")
-            lang = lang.split(",")[0].strip().lower() or None if lang else None
+            if lang:
+                # WET carries ISO 639-3 ('eng'); the response branch (and
+                # every lang filter downstream) uses 639-1 ('en') — map
+                # common codes so one pages table never mixes formats;
+                # unmapped codes pass through as-is (documented, visible)
+                code = lang.split(",")[0].strip().lower()
+                lang = _ISO639_3_TO_1.get(code, code) or None
+            else:
+                lang = None
         elif wtype in ("response", "resource"):
             http_headers, body = split_http_payload(payload)
             ctype = http_headers.get(
@@ -282,14 +305,20 @@ def read_warc(
     spark: SparkSession,
     path: str,
     html_only: bool = True,
-    path_glob_filter: str | None = "*.{warc,warc.gz,wet,wet.gz}",
+    path_glob_filter: str | None = "*.{warc,warc.gz}",
 ) -> DataFrame:
-    """Read ``.warc`` / ``.warc.gz`` / ``.wet`` / ``.wet.gz`` files under
-    ``path`` into the pages table ``(url, warc_ts, html, lang,
-    content_type, record_id, source_file)`` — drop the extra columns and
-    the result feeds ``DedupPipeline.run`` directly (WET conversion
-    records land their extracted text in ``html``; extraction is the
-    identity on tag-free text, see _records_to_rows).
+    """Read crawl-container files under ``path`` into the pages table
+    ``(url, warc_ts, html, lang, content_type, record_id, source_file)``
+    — drop the extra columns and the result feeds ``DedupPipeline.run``
+    directly. WET conversion records are fully supported (their extracted
+    text lands in ``html``; extraction is the identity on tag-free text,
+    see _records_to_rows) — but the DEFAULT glob reads ``.warc`` only:
+    Common Crawl ships every segment as ``X.warc.gz`` PLUS its
+    ``X.warc.wet.gz`` sidecar, so a glob matching both would ingest every
+    page twice (html bytes AND extracted-text bytes under the same url).
+    Pass ``path_glob_filter="*.{wet,wet.gz}"`` for a WET-only corpus, or
+    an explicit combined glob only for buckets known to hold disjoint
+    page sets.
 
     One map task per file (binaryFile never splits — required, see module
     docstring), no shuffle; predicate ``html_only`` drops non-HTML

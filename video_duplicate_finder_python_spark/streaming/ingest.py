@@ -494,11 +494,14 @@ class StreamingSignatureIngest:
         stream_checkpoint: str,
         available_now: bool = True,
         max_files_per_trigger: int = 4,
-        path_glob_filter: str = "*.{warc,warc.gz,wet,wet.gz}",
+        path_glob_filter: str = "*.{warc,warc.gz}",
     ):
         """Continuous crawl ingestion: watch a directory for landing
-        ``.warc`` / ``.warc.gz`` / ``.wet`` / ``.wet.gz`` files and upsert
-        their pages' signatures
+        ``.warc`` / ``.warc.gz`` files and upsert their pages' signatures
+        (pass ``path_glob_filter="*.{wet,wet.gz}"`` for a WET-only crawl;
+        the default excludes WET because crawls ship .wet.gz as a SIDECAR
+        of the same segment's .warc.gz — matching both ingests every page
+        twice)
         into the store — the streaming twin of ``sources/warc.read_warc``
         (same mapInPandas parser via ``warc_files_to_pages``; the
         binaryFile file-stream source tracks processed files in the stream
