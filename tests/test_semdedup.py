@@ -164,3 +164,26 @@ def test_assign_cells_schema(spark, rows_and_truth):
     pdf = out.toPandas()
     assert pdf.centroid_id.between(0, 3).all()
     assert (pdf.cent_sim <= 1.0 + 1e-9).all()
+
+
+def test_arrow_kernel_matches_jvm(spark, rows_and_truth):
+    """pair_kernel='arrow' (batched einsum, ~2x the JVM fold) must make
+    the same grouping/keeper decisions as the default kernel — planted
+    margins keep both far from the eps boundary where last-ulp summation
+    differences could flip a pair."""
+    rows, _ = rows_and_truth
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = train_ivf_centroids(df, n_centroids=8, train_size=256, seed=7)
+    out = {}
+    for kernel in ("jvm", "arrow"):
+        members, dropped, cached = semdedup(
+            df, cents, eps=EPS, persist=True, pair_kernel=kernel
+        )
+        out[kernel] = {
+            r.vec_id: (r.cluster_id, r.is_kept) for r in members.collect()
+        }
+        for c in cached:
+            c.unpersist()
+    assert out["jvm"] == out["arrow"]
+    with pytest.raises(ValueError):
+        semdedup(df, cents, pair_kernel="simd")

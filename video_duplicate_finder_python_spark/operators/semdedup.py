@@ -76,6 +76,27 @@ def assign_cells(embeddings: DataFrame, cents: np.ndarray) -> DataFrame:
     ).drop("_a")
 
 
+def _arrow_cosine_udf():
+    """Batched NumPy pair cosine: one einsum per Arrow batch. ~2× the JVM
+    fold at dim 64 (measured 9.6 → 4.9 s on 3M pairs at local[4]) and
+    memory-bandwidth-friendlier across cores — the remedy for the
+    fold-bound scaling the round-6 pairing surfaced
+    (BENCH/SEMDEDUP_SCALING_R6.md). Float summation ORDER differs from
+    the sequential fold, so scores can differ in the last ulps — pairs
+    sitting exactly on the eps boundary may flip vs the jvm kernel."""
+
+    @F.pandas_udf(T.DoubleType())
+    def cos_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+        mb = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+        dots = np.einsum("ij,ij->i", ma, mb)
+        na = np.einsum("ij,ij->i", ma, ma)
+        nb = np.einsum("ij,ij->i", mb, mb)
+        return pd.Series(dots / np.sqrt(na * nb))
+
+    return cos_udf
+
+
 def semdedup(
     embeddings: DataFrame,
     cents: np.ndarray,
@@ -83,6 +104,7 @@ def semdedup(
     max_cell_compare: int = 1024,
     salt_threshold: int | None = 65536,
     persist: bool = False,
+    pair_kernel: str = "jvm",
 ) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
     """→ ``(members, dropped, cached)``.
 
@@ -92,7 +114,15 @@ def semdedup(
     ``is_kept`` row per cluster: lowest ``cent_sim``, vec_id tiebreak.
     ``dropped`` counts cell members beyond ``max_cell_compare`` (cap
     metric); ``cached`` are caller-owned persisted handles.
+
+    ``pair_kernel``: "jvm" (default) scores pairs with the sequential
+    ``aggregate`` fold — bit-exact against the NumPy twin and any
+    left-fold oracle; "arrow" uses the batched einsum kernel (~2× faster,
+    better multi-core scaling, last-ulp score differences — see
+    _arrow_cosine_udf).
     """
+    if pair_kernel not in ("jvm", "arrow"):
+        raise ValueError(f"pair_kernel must be 'jvm' or 'arrow', got {pair_kernel!r}")
     assigned = assign_cells(embeddings, cents).select(
         # zero-padded string id: bucket_pairs orders by it and CC min()s
         # it lexicographically — padding makes both match numeric order.
@@ -115,10 +145,12 @@ def semdedup(
         persist=persist,
         salt_threshold=salt_threshold,
     )
+    if pair_kernel == "arrow":
+        cos = _arrow_cosine_udf()(F.col("embedding_a"), F.col("embedding_b"))
+    else:
+        cos = cosine_col(F.col("embedding_a"), F.col("embedding_b"))
     edges = (
-        cand.withColumn(
-            "cos", cosine_col(F.col("embedding_a"), F.col("embedding_b"))
-        )
+        cand.withColumn("cos", cos)
         .where(F.col("cos") >= F.lit(1.0 - eps))
         .select(F.col("url_a").alias("u"), F.col("url_b").alias("v"))
     )
