@@ -10,16 +10,19 @@ duplicate something we already have?" in O(delta) work. This operator
 does:
 
 - signatures for the new batch only (the Arrow kernel, O(delta));
-- **one store pass per enabled candidate source plus one text fetch**,
-  every one shuffle-free on the store side: the MinHash band probe and
-  (with ``substring=True``) the CDC-fingerprint probe each broadcast the
-  batch's keys against one scan of the store's exploded view, and the
-  (tiny) candidate output is persisted so downstream actions reuse it;
-  the text fetch is a broadcast left-semi join pulling text/simhash for
-  just the matched url set. The 10^12-row store is never shuffled, never
-  windowed, never collected; a deployment that keeps materialized
-  band/fingerprint indexes partitioned by hash turns the scans into
-  partition-pruned probes (same seam as ``build_ann_index``);
+- **ONE store pass for all candidate sources plus one text fetch** (r7:
+  the per-source band and fingerprint probes shared a merged ``(src,
+  key)`` space — the same construction as the batch pipeline's merged
+  candidates, plans/pipeline.py:_keyed_candidate_rows — so the store's
+  signature columns are scanned and exploded once, not once per source),
+  every pass shuffle-free on the store side: the batch's keys broadcast
+  against the store's exploded view, and the (tiny) candidate output is
+  materialized so downstream consumers reuse it; the text fetch is a
+  broadcast left-semi join pulling text/simhash for just the matched url
+  set. The 10^12-row store is never shuffled, never windowed, never
+  collected; a deployment that keeps a materialized key index partitioned
+  by hash turns the scan into partition-pruned probes (same seam as
+  ``build_ann_index``);
 - the fingerprint source closes the recall class the band probe alone
   misses: a batch doc sharing a >= ``substring_min_len`` verbatim span
   with a store doc at LOW overall Jaccard (the pipeline's "suffix"
@@ -42,17 +45,31 @@ the returned ``cached`` list holds every persisted handle this call
 created (batch signatures, the candidate tables, verify's internal
 cache) — the caller must ``unpersist()`` them after running its actions,
 or a long-running stream accumulates cached frames without bound.
+
+Plan-size note (r7): the probe's dataflow is a chain of diamonds — the
+candidate tables feed the degree guard, the pair union, the text fetch
+AND (via profiles) both sides of the verify join, and verify branches
+its scored frame four more ways — so composing it all lazily embeds the
+candidate subtree in the final logical plan a combinatorial number of
+times. At sf0.1 the composed plan printed 26k lines and Catalyst
+analysis/planning dominated the wall (construction alone 5.2 s, the
+single action 8.5 s while every candidate computation measured < 0.4 s
+in isolation — scripts/profile_probe.py). The fix is the guide's
+plan-truncation rule: the three SMALL intermediates (batch signatures,
+store candidates, batch candidates) are cut with a lazy
+``localCheckpoint`` whose first action materializes them, after which
+every downstream appearance is a LogicalRDD leaf. The handles still
+join ``cached`` (unpersist on a checkpointed frame is a harmless no-op;
+the blocks are freed by the ContextCleaner when the handle is dropped).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..config import DedupConfig
 from ..functions.signatures import make_shingles_udf
-from .lsh import explode_bands
 from .signature_stage import compute_signatures
 from .verify import verify_candidates
 
@@ -105,65 +122,70 @@ def probe_near_dups(
     sigs_new = compute_signatures(new_docs, cfg, keep_cols=["url", "text"])
     if not substring:
         # drop the CDC fingerprints STRUCTURALLY: nothing reads them, and
-        # the persist below would otherwise materialize the per-byte CDC
+        # the materialization below would otherwise run the per-byte CDC
         # UDF pass Catalyst's column pruning normally removes
         sigs_new = sigs_new.drop("fingerprints")
     if persist:
         # the batch signature kernel feeds every candidate source (store
-        # probe + within-batch self-join, per source) AND the verify
-        # profiles — cache it or it re-runs once per consumer per action
-        sigs_new = sigs_new.persist(StorageLevel.MEMORY_AND_DISK)
+        # probe + within-batch self-join) AND the verify profiles — a lazy
+        # localCheckpoint caches it AND truncates its subtree out of every
+        # downstream plan (see module docstring, plan-size note)
+        sigs_new = sigs_new.localCheckpoint(eager=False)
         caches.append(sigs_new)
 
-    # --- candidate sources: per source, one broadcast store probe + one
-    # within-batch self-join, each row tagged with its source name -------
-    bands_new = explode_bands(sigs_new, cfg).withColumnRenamed("url", "new_url")
-    bands_store = explode_bands(store, cfg)
-    old_parts = [
-        bands_store.join(F.broadcast(bands_new), ["band_id", "band_hash"])
-        .where(F.col("url") != F.col("new_url"))
-        .select("new_url", F.col("url").alias("other_url"), F.lit("minhash").alias("src"))
+    # --- merged candidate space: ONE (src, key) row set per side, same
+    # construction as the batch pipeline's merged candidates — the store's
+    # signature columns are scanned/exploded once for ALL sources --------
+    r = cfg.rows_per_band
+    key_items = [
+        F.struct(
+            F.lit("minhash").alias("src"),
+            F.xxhash64(F.slice("minhash", b * r + 1, r), F.lit(b)).alias("key"),
+        )
+        for b in range(cfg.bands)
     ]
-    b2 = bands_new.withColumnRenamed("new_url", "other_url")
-    new_parts = [
-        bands_new.join(b2, ["band_id", "band_hash"])
-        .where(F.col("new_url") < F.col("other_url"))
-        .select("new_url", "other_url", F.lit("minhash").alias("src"))
-    ]
+    key_arr = F.array(*key_items)
     if substring:
         # cdc_fingerprints emits a distinct set per doc, so the exploded
         # (url, fp) rows are unique by construction — no dedup needed
-        fp_new = sigs_new.select(
-            F.col("url").alias("new_url"), F.explode("fingerprints").alias("fp")
-        )
-        fp_store = store.select("url", F.explode("fingerprints").alias("fp"))
-        old_parts.append(
-            fp_store.join(F.broadcast(fp_new), "fp")
-            .where(F.col("url") != F.col("new_url"))
-            .select(
-                "new_url", F.col("url").alias("other_url"), F.lit("suffix").alias("src")
-            )
-        )
-        fp2 = fp_new.withColumnRenamed("new_url", "other_url")
-        new_parts.append(
-            fp_new.join(fp2, "fp")
-            .where(F.col("new_url") < F.col("other_url"))
-            .select("new_url", "other_url", F.lit("suffix").alias("src"))
+        key_arr = F.concat(
+            key_arr,
+            F.transform(
+                F.col("fingerprints"),
+                lambda fp: F.struct(
+                    F.lit("suffix").alias("src"), fp.alias("key")
+                ),
+            ),
         )
 
-    def collect_pairs(parts: list[DataFrame]) -> DataFrame:
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
-        return u.groupBy("new_url", "other_url").agg(
-            F.collect_set("src").alias("sources")
-        )
+    def keyed(df: DataFrame, url_out: str) -> DataFrame:
+        return df.select(
+            F.col("url").alias(url_out), F.explode(key_arr).alias("_k")
+        ).select(url_out, F.col("_k.src").alias("src"), F.col("_k.key").alias("key"))
 
-    cand_old = collect_pairs(old_parts)
+    keys_new = keyed(sigs_new, "new_url")
+    keys_store = keyed(store, "url")
+    cand_old = (
+        keys_store.join(F.broadcast(keys_new), ["src", "key"])
+        .where(F.col("url") != F.col("new_url"))
+        .groupBy("new_url", F.col("url").alias("other_url"))
+        .agg(F.collect_set("src").alias("sources"))
+    )
+    k2 = keys_new.withColumnRenamed("new_url", "other_url")
+    cand_new = (
+        keys_new.join(k2, ["src", "key"])
+        .where(F.col("new_url") < F.col("other_url"))
+        .groupBy("new_url", "other_url")
+        .agg(F.collect_set("src").alias("sources"))
+    )
     if persist:
-        cand_old = cand_old.persist(StorageLevel.MEMORY_AND_DISK)
+        # both candidate tables are re-read by the degree guard, the pair
+        # union AND the profile fetch — truncate them too (they are tiny:
+        # bounded by batch size × max_matches_per_doc)
+        cand_old = cand_old.localCheckpoint(eager=False)
         caches.append(cand_old)
-    cand_new = collect_pairs(new_parts)
+        cand_new = cand_new.localCheckpoint(eager=False)
+        caches.append(cand_new)
 
     # boilerplate guard: candidate DEGREE per batch doc across both
     # sides (a within-batch pair counts toward both endpoints) via a

@@ -25,7 +25,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.storagelevel import StorageLevel
 
 from ..config import DedupConfig
 from ..functions.fingerprint import anchored_common_span_len
@@ -106,7 +105,15 @@ def verify_candidates(
             "hamming", F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
         )
         .select("url_a", "url_b", "sources", "_lcs_hint", "jaccard", "hamming")
-        .persist(StorageLevel.MEMORY_AND_DISK)  # scalars only; branched below
+        # scalars only; branched 4 ways below (fast, needed, and the two
+        # need_urls projections). A lazy localCheckpoint caches it like the
+        # old persist did AND truncates the subtree out of the downstream
+        # plan — the scoring join's lineage otherwise re-appears once per
+        # branch in the final logical plan, and for callers that compose
+        # verify into a larger lazy dataflow (the incremental probe) that
+        # repetition is a measured Catalyst-planning bottleneck
+        # (operators/incremental_probe.py docstring, plan-size note).
+        .localCheckpoint(eager=False)
     )
 
     needs_lcs = (
