@@ -104,7 +104,7 @@ def semdedup(
     max_cell_compare: int = 1024,
     salt_threshold: int | None = 65536,
     persist: bool = False,
-    pair_kernel: str = "jvm",
+    pair_kernel: str = "arrow",
 ) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
     """→ ``(members, dropped, cached)``.
 
@@ -115,11 +115,13 @@ def semdedup(
     ``dropped`` counts cell members beyond ``max_cell_compare`` (cap
     metric); ``cached`` are caller-owned persisted handles.
 
-    ``pair_kernel``: "jvm" (default) scores pairs with the sequential
-    ``aggregate`` fold — bit-exact against the NumPy twin and any
-    left-fold oracle; "arrow" uses the batched einsum kernel (~2× faster,
-    better multi-core scaling, last-ulp score differences — see
-    _arrow_cosine_udf).
+    ``pair_kernel``: "arrow" (default since r7 — the r6 scaling pairing
+    measured the JVM fold as the operator's bandwidth-bound bottleneck,
+    BENCH/SEMDEDUP_SCALING_R6.md) scores pairs with the batched einsum
+    kernel (~2× faster, better multi-core scaling); "jvm" keeps the
+    sequential ``aggregate`` fold — bit-exact against the NumPy twin and
+    any left-fold oracle, and the equivalence twin the tests pin
+    (last-ulp score differences between the two — see _arrow_cosine_udf).
     """
     if pair_kernel not in ("jvm", "arrow"):
         raise ValueError(f"pair_kernel must be 'jvm' or 'arrow', got {pair_kernel!r}")
