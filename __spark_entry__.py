@@ -39,6 +39,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Input-skew guard (optimization guide §2.5, 'one huge unsplittable
+    file'): the sf testdata ships each table as ONE parquet file under the
+    128 MB split size, so every scan is a single task and a per-doc kernel
+    (signature UDFs, regex scrubbing, shingle transforms) runs on one core
+    no matter how many the session has. When the scan yields fewer
+    partitions than the session's parallelism, round-robin repartition to
+    spread the rows; on a real multi-file corpus (scan partitions >= cores)
+    this is a no-op, so no extra corpus-wide shuffle is introduced at
+    scale. Row order is irrelevant to every caller (per-row projections +
+    integer-count aggregations, each query ends in orderBy), so results
+    are unchanged."""
+    from video_duplicate_finder_python_spark.sources.pages import spread_input
+
+    return spread_input(df)
+
+
 def _with_shingle_strings(df: DataFrame, text_col: str, out: str = "s") -> DataFrame:
     """Distinct 5-word shingles as strings (mirrors the SQL oracle exactly).
     Tokens are materialized into a column first — passing the split()
@@ -192,7 +209,7 @@ def q_stopword_ratio(spark, sf_dir):
     # text-analysis extra: quality scoring (stopword density)
     toks = F.split(F.col("text"), " ")
     stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
-    return _t(spark, sf_dir, "documents").select(
+    return _spread(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         (stop / F.size(toks).cast("double")).alias("stopword_ratio"),
     ).orderBy("doc_id")
@@ -475,7 +492,7 @@ def q_repetition_scores(spark, sf_dir):
     )
 
     return (
-        _t(spark, sf_dir, "documents")
+        _spread(_t(spark, sf_dir, "documents"))
         .select("doc_id", repetition_score(F.col("text")).alias("rep_frac"))
         .orderBy("doc_id")
     )
@@ -535,7 +552,7 @@ def q_contaminated_docs(spark, sf_dir):
     )
 
     d = _with_shingle_strings(
-        _t(spark, sf_dir, "documents").select("doc_id", "text"), "text"
+        _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text"), "text"
     ).select("doc_id", "s")
     eval_side = d.where(F.col("doc_id") % 11 == 0)
     corpus_side = d.where(F.col("doc_id") % 11 != 0)
@@ -649,7 +666,7 @@ def q_pii_scrubbed(spark, sf_dir):
             ),
         ).otherwise(F.lit("")),
     )
-    d = _t(spark, sf_dir, "documents").select("doc_id", ptext.alias("ptext"))
+    d = _spread(_t(spark, sf_dir, "documents")).select("doc_id", ptext.alias("ptext"))
     counts = pii_counts(F.col("ptext"))
     return d.select(
         "doc_id",
@@ -700,7 +717,7 @@ def q_gopher_filter(spark, sf_dir):
 
     flags = gopher_flags(F.col("text"))
     return (
-        _t(spark, sf_dir, "documents")
+        _spread(_t(spark, sf_dir, "documents"))
         .select(
             "doc_id",
             *[flags[k].alias(k) for k in
@@ -858,7 +875,7 @@ def q_minhash_signatures(spark, sf_dir):
     cfg = DedupConfig()
     udf = make_text_signature_udf(cfg.seed, cfg.num_perm, cfg.shingle_k)
     return (
-        _t(spark, sf_dir, "documents")
+        _spread(_t(spark, sf_dir, "documents"))
         .withColumn("sig", udf("text"))
         .select(
             "doc_id",

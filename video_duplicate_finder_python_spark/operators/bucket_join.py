@@ -51,6 +51,7 @@ def bucket_pairs(
     max_collected_hot: int = 64,
     keep_keys: list[str] | None = None,
     dropped_group_by: list[str] | None = None,
+    bucket_rows_bound: int | None = None,
 ) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
     """Emit candidate pairs from rows sharing ``key_cols``.
 
@@ -111,6 +112,45 @@ def bucket_pairs(
     keep_cols = [*key_cols, id_col, *carry_cols]
     w = Window.partitionBy(*key_cols).orderBy(id_col)
     caches: list[DataFrame] = []
+
+    # ``bucket_rows_bound``: a caller-asserted upper bound on any single
+    # bucket's size (e.g. the signature-stage row count when every doc
+    # contributes at most one row per key). When it proves no bucket can
+    # reach ``salt_threshold``, the eager hot-key sizes pass is a job that
+    # can only ever return an empty hot set — skip it and take the
+    # unsalted plan directly. Scale-adaptive by construction: a corpus big
+    # enough to HAVE a 65k-row bucket has bound > threshold and keeps the
+    # full salted machinery (measured: the sizes job + input-cache
+    # materialization was a 2.5-2.7 s pre-stage serial step of the sf0.1
+    # candidates phase that decided nothing).
+    if (
+        salt_threshold is not None
+        and bucket_rows_bound is not None
+        and 0 < bucket_rows_bound <= salt_threshold
+    ):
+        salt_threshold = None
+
+    # Scale-adaptive shuffle width (the guide's §2.2 "fewer, larger
+    # partitions" + §2.4 shared exchange; same rule CC's _round_width
+    # applies to its star rounds): a keyed input whose size bound says the
+    # session width would make near-empty partitions gets ONE explicit
+    # repartition on the bucket keys sized to the data — the ranking
+    # window, the pair self-join and the singleton filter all reuse that
+    # partitioning, so no further exchange is inserted, and every
+    # downstream map-task count shrinks with it (the M×R shuffle-block
+    # matrix is the measured fixed cost here: a 64-wide exchange of 116k
+    # rows cost 0.86 s on this host against 0.20 s at width 8). Inputs big
+    # enough to fill the session width are untouched — the width is
+    # derived from the input bound, never from the local core count.
+    if bucket_rows_bound is not None and bucket_rows_bound > 0:
+        spark = df.sparkSession
+        try:
+            ceiling = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            ceiling = spark.sparkContext.defaultParallelism
+        width = min(ceiling, bucket_rows_bound // 2000 + 1)
+        if width < ceiling:
+            df = df.repartition(width, *key_cols)
 
     def rank_unsalted(part: DataFrame, cap: int) -> DataFrame:
         return (

@@ -97,6 +97,8 @@ def _local_finish(e: DataFrame) -> DataFrame:
     """Union-find over a collected (small) edge set → ``(url, cluster_id)``
     star rows, cluster_id = min url of the component. Path-halving find;
     O(E α(E)) — sub-second for the ≤ local_finish_edges sets this sees."""
+    import pandas as pd
+
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -106,8 +108,13 @@ def _local_finish(e: DataFrame) -> DataFrame:
             root = parent[root]
         return root
 
-    for row in e.select("u", "v").collect():
-        a, b = row[0], row[1]
+    # toPandas/createDataFrame(pandas) ride the Arrow transfer path
+    # (guide §6: orders of magnitude over the pickled-row path) — the
+    # collect and the result upload are the two driver hops this finish
+    # pays per pipeline run, so their constant matters in the serial
+    # fraction the scaling pairings price.
+    edf = e.select("u", "v").toPandas()
+    for a, b in zip(edf["u"], edf["v"]):
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -120,8 +127,10 @@ def _local_finish(e: DataFrame) -> DataFrame:
                 ra, rb = rb, ra
             parent[rb] = ra
 
-    rows = [(node, find(node)) for node in parent]
-    return e.sparkSession.createDataFrame(rows, "url string, cluster_id string")
+    out = pd.DataFrame(
+        {"url": list(parent), "cluster_id": [find(n) for n in parent]}
+    )
+    return e.sparkSession.createDataFrame(out, "url string, cluster_id string")
 
 
 def connected_components(

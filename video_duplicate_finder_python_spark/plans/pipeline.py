@@ -186,17 +186,65 @@ class DedupPipeline:
             keep_cols=["url", "content_hash", "group_size"],
         )
 
-    def _cand_profiles(self, candidates: DataFrame, rep_docs: DataFrame, signatures: DataFrame) -> DataFrame:
+    def _narrow_width(self, n_rows: int | None, rows_per_part: int = 2000) -> int | None:
+        """Scale-adaptive shuffle width for a stage whose input row count
+        is KNOWN from the previous stage's materialized metrics (same rule
+        as connected_components._round_width and bucket_join's
+        bucket_rows_bound): one partition per ~rows_per_part rows,
+        ceilinged by the session width. Returns None when the data already
+        fills the session width — callers then leave the plan untouched,
+        so a 100 TB corpus never sees a narrowed shuffle. The M×R
+        shuffle-block matrix is the measured cost this avoids: a 64-wide
+        exchange of 116k rows cost 0.86 s on this host vs 0.20 s at 8."""
+        if n_rows is None or n_rows <= 0:
+            return None
+        try:
+            ceiling = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            ceiling = self.spark.sparkContext.defaultParallelism
+        width = min(ceiling, n_rows // rows_per_part + 1)
+        return width if width < ceiling else None
+
+    def _cand_profiles(
+        self,
+        candidates: DataFrame,
+        rep_docs: DataFrame,
+        signatures: DataFrame,
+        width: int | None = None,
+    ) -> DataFrame:
         """(url, shingles, simhash) for every url in a candidate pair —
         deliberately WITHOUT text: verify joins texts separately for the
-        small substring-confirmation branch only."""
+        small substring-confirmation branch only.
+
+        ``width`` (from the materialized candidates row count): when the
+        candidate set is provably small, the url-set dedup and the profile
+        joins run at a data-sized width, and the semi-joins against the
+        corpus-sized rep_docs/signatures broadcast the (tiny) url set so
+        the corpus side is never shuffled for it — the candidates-are-a-
+        tiny-fraction-of-the-corpus regime made explicit in the plan.
+        ``width=None`` (unknown/large) keeps the shuffled shape."""
         cand_urls = (
             candidates.select(F.col("url_a").alias("url"))
             .union(candidates.select(F.col("url_b").alias("url")))
-            .distinct()
         )
-        cand_docs = rep_docs.join(cand_urls, "url", "left_semi").select("url", "text")
         shingles_udf = make_shingles_udf(self.cfg.shingle_k)
+        if width is not None:
+            urls_b = F.broadcast(cand_urls.repartition(width, "url").distinct())
+            cand_docs = rep_docs.join(urls_b, "url", "left_semi").select(
+                "url", "text"
+            )
+            sig_small = signatures.select("url", "simhash").join(
+                urls_b, "url", "left_semi"
+            )
+            return (
+                cand_docs.withColumn("shingles", shingles_udf(F.col("text")))
+                .drop("text")
+                .repartition(width, "url")
+                .join(sig_small.repartition(width, "url"), "url")
+            )
+        cand_docs = rep_docs.join(cand_urls.distinct(), "url", "left_semi").select(
+            "url", "text"
+        )
         return (
             cand_docs.withColumn("shingles", shingles_udf(F.col("text")))
             .drop("text")
@@ -273,6 +321,14 @@ class DedupPipeline:
         salting — the bucket key is (src, key) so spaces never mix."""
         cfg = self.cfg
         rows = self._keyed_candidate_rows(signatures)
+        # every (src, key) bucket holds at most one row per signature row
+        # (band hashes are band-seeded, chunk keys chunk-id-seeded, CDC
+        # fingerprints distinct per doc), so the materialized signature
+        # stage's row count upper-bounds every bucket — when it cannot
+        # reach the salt threshold, bucket_pairs skips the eager hot-key
+        # job outright (see bucket_rows_bound there)
+        sig_metrics = self.ckpt.metrics.get("signatures")
+        bound = sig_metrics.rows_out if sig_metrics is not None else None
         pairs, dropped, caches = bucket_pairs(
             rows,
             key_cols=["src", "key"],
@@ -283,6 +339,7 @@ class DedupPipeline:
             persist=True,
             salt_threshold=cfg.skew_salt_threshold,
             n_salts=cfg.skew_n_salts,
+            bucket_rows_bound=bound,
         )
         hamming_ok = (F.col("src") != F.lit("simhash")) | (
             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
@@ -318,6 +375,13 @@ class DedupPipeline:
                 )
             )
             caches.extend(sa_caches)
+        # the cross-source dedup groupBy: at a known-small input, pin its
+        # exchange to the same data-derived width as the bucket shuffle
+        # (the partial-aggregation it forgoes only collapsed per-pair
+        # band/chunk multiplicity — a handful of rows per pair)
+        width = self._narrow_width(bound)
+        if width is not None:
+            tagged = tagged.repartition(width, "url_a", "url_b")
         cands = tagged.groupBy("url_a", "url_b").agg(
             F.collect_set("source").alias("sources"),
             F.max("lcs_hint").alias("lcs_hint"),
@@ -483,9 +547,13 @@ class DedupPipeline:
         verify_cache: list[DataFrame] = []
 
         def build_pairs() -> DataFrame:
+            cand_metrics = self.ckpt.metrics.get("candidates")
+            width = self._narrow_width(
+                cand_metrics.rows_out if cand_metrics is not None else None
+            )
             out = verify_candidates(
                 candidates,
-                self._cand_profiles(candidates, rep_docs, signatures),
+                self._cand_profiles(candidates, rep_docs, signatures, width),
                 cfg,
                 texts=rep_docs.select("url", "text"),
             )
