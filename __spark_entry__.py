@@ -56,6 +56,21 @@ def _spread(df: DataFrame) -> DataFrame:
     return spread_input(df)
 
 
+def _presort(df: DataFrame) -> DataFrame:
+    """Shuffle boundary under a final orderBy (guide §7.2 read-the-plan +
+    §1 measure): a global sort's range partitioner SAMPLES its child by
+    executing it, so an expensive kernel (pandas UDF, applyInPandas
+    group walk) sitting directly under ``.orderBy(...)`` runs TWICE —
+    measured +65% on the signature query and +100% on the suffix-array
+    query at sf0.1. A round-robin repartition to the session parallelism
+    materializes the kernel's output once as shuffle files; the range
+    sampling then reads those instead of re-running the kernel. Strictly
+    cheaper whenever the kernel costs more than one exchange of its
+    OUTPUT rows (scalars here — the text/arrays are gone by this point).
+    Result set and final ordering are unchanged."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _with_shingle_strings(df: DataFrame, text_col: str, out: str = "s") -> DataFrame:
     """Distinct 5-word shingles as strings (mirrors the SQL oracle exactly).
     Tokens are materialized into a column first — passing the split()
@@ -810,6 +825,7 @@ def q_suffix_array_pair_spans(spark, sf_dir):
     return (
         suffix_array_pairs(d, F.col("family"), min_len=cfg.substring_min_len)
         .select("url_a", "url_b", F.col("lcs_len").cast("bigint").alias("lcs_len"))
+        .transform(_presort)
         .orderBy("url_a", "url_b")
     )
 
@@ -883,6 +899,7 @@ def q_minhash_signatures(spark, sf_dir):
             "sig.simhash",
             F.md5(F.concat_ws(",", F.col("sig.minhash"))).alias("minhash_md5"),
         )
+        .transform(_presort)
         .orderBy("doc_id")
     )
 
@@ -953,6 +970,7 @@ def q_cdc_fingerprints(spark, sf_dir):
     return (
         _t(spark, sf_dir, "documents")
         .select("doc_id", F.size(udf("text")).cast("bigint").alias("n_fingerprints"))
+        .transform(_presort)
         .orderBy("doc_id")
     )
 
