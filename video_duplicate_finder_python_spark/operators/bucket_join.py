@@ -166,6 +166,24 @@ def bucket_pairs(
         if persist:
             df = df.persist(StorageLevel.MEMORY_AND_DISK)
             caches.append(df)
+        # row count FIRST (one shuffle-free pass that doubles as the
+        # cache-materializing job), then size every keyed operation from
+        # it: when the input is far below the session width, ONE narrow
+        # keyed repartition is inserted and the sizes aggregate, the
+        # ranking window AND the pair self-join all reuse its partitioning
+        # — zero further exchanges (vs the previous shape's three
+        # session-wide ones; the M×R block matrix is the measured fixed
+        # cost, see bucket_rows_bound above). Callers that CAN bound their
+        # input statically skip even the count via bucket_rows_bound; a
+        # full-width input leaves the plan exactly as before.
+        n_rows = df.count()
+        try:
+            ceiling = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            ceiling = df.sparkSession.sparkContext.defaultParallelism
+        width = min(ceiling, n_rows // 50_000 + 1)
+        if width < ceiling:
+            df = df.repartition(width, *key_cols)
         sizes = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bsz"))
         hot_keys = sizes.where(F.col("_bsz") > salt_threshold).select(*key_cols)
         hot_rows = hot_keys.limit(max_collected_hot + 1).collect()

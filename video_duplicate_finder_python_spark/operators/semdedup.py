@@ -137,7 +137,12 @@ def semdedup(
         "embedding",
         "centroid_id",
         "cent_sim",
-    )
+    ).localCheckpoint(eager=False)
+    # the assignment UDF feeds three consumers (bucket sizes pass, the
+    # ranking window, the keeper join) — the lazy checkpoint computes it
+    # once and truncates its subtree out of every downstream plan (the
+    # same plan-diamond rule as the probe, incremental_probe.py docstring)
+    cached0: list[DataFrame] = [assigned]
     cand, dropped, cached = bucket_pairs(
         assigned,
         key_cols=["centroid_id"],
@@ -174,4 +179,4 @@ def semdedup(
             (F.col("url") == F.col("_keep")).alias("is_kept"),
         )
     )
-    return out, dropped, cached
+    return out, dropped, cached0 + cached
