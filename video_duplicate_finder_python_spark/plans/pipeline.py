@@ -177,9 +177,18 @@ class DedupPipeline:
         # shingle arrays are NOT kept: they would roughly double the
         # checkpoint at 10^12-doc scale; verify recomputes them for the
         # (tiny) candidate url set instead.
-        n_part = max(
-            self.spark.sparkContext.defaultParallelism * 2, self.cfg.shuffle_partitions
-        )
+        # Width is row-count-adaptive (r7): the 2x-cores oversplit is right
+        # when every task holds thousands of docs (straggler slack), but at
+        # a few docs per task the fixed per-task Arrow/UDF setup dominates
+        # — measured 1.31 s at 64 partitions vs 0.66 s at 32 for 4.8k docs.
+        # Never below defaultParallelism (all cores busy when data allows),
+        # never above the 2x oversplit, reduced only when the materialized
+        # rep_docs row count says tasks would be tiny (~256 docs/task).
+        par = self.spark.sparkContext.defaultParallelism
+        n_part = max(par * 2, self.cfg.shuffle_partitions)
+        rep_metrics = self.ckpt.metrics.get("rep_docs")
+        if rep_metrics is not None and rep_metrics.rows_out > 0:
+            n_part = min(n_part, max(par, rep_metrics.rows_out // 256 + 1))
         return compute_signatures(
             rep_docs.repartition(n_part),
             self.cfg,
