@@ -121,3 +121,45 @@ def test_salted_broadcast_fallback_matches(spark):
     lit_pairs, lit_drops = run()
     bc_pairs, bc_drops = run(max_collected_hot=0)
     assert bc_pairs == lit_pairs and bc_drops == lit_drops
+
+
+def test_rows_bound_short_circuit_matches_salted(spark):
+    """r7: a bucket_rows_bound <= salt_threshold proves no hot bucket can
+    exist, so the eager hot-key sizes job is skipped and the unsalted
+    plan is taken — outputs must be identical to the full salted path,
+    and the emitted plan must carry no salt column."""
+    rows = [(k, f"u{i:02d}") for k in (1, 2, 3) for i in range(6)]
+    df = spark.createDataFrame(rows, ["key", "url"])
+
+    def run(**kw):
+        pairs, dropped, _ = bucket_pairs(
+            df, key_cols=["key"], max_bucket_size=4, salt_threshold=100, **kw
+        )
+        return sorted((r["url_a"], r["url_b"]) for r in pairs.collect()), int(
+            dropped.first()[0] or 0
+        )
+
+    full_pairs, full_drops = run()
+    fast_pairs, fast_drops = run(bucket_rows_bound=len(rows))
+    assert fast_pairs == full_pairs and fast_drops == full_drops
+
+    pairs, _d, _c = bucket_pairs(
+        df, key_cols=["key"], max_bucket_size=4, salt_threshold=100,
+        bucket_rows_bound=len(rows),
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" not in plan
+
+
+def test_rows_bound_above_threshold_keeps_salting(spark):
+    """A bound ABOVE the threshold must not disable the skew machinery:
+    the hot bucket still gets per-salt ranking and counted drops."""
+    rows = [(1, f"u{i:02d}") for i in range(12)] + [(2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, ["key", "url"])
+    pairs, dropped, _ = bucket_pairs(
+        df, key_cols=["key"], max_bucket_size=8, salt_threshold=10,
+        n_salts=4, bucket_rows_bound=len(rows),
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+    assert int(dropped.first()[0] or 0) > 0
