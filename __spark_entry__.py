@@ -571,7 +571,12 @@ def q_contaminated_docs(spark, sf_dir):
     ).select("doc_id", "s")
     eval_side = d.where(F.col("doc_id") % 11 == 0)
     corpus_side = d.where(F.col("doc_id") % 11 != 0)
-    return contamination_overlap(corpus_side, eval_side).orderBy("doc_id")
+    # grams_distinct: _with_shingle_strings applies array_distinct, so the
+    # (doc, gram) rows are unique and the plain count equals the distinct
+    # count (operator docstring; verified row-identical)
+    return contamination_overlap(
+        corpus_side, eval_side, grams_distinct=True
+    ).orderBy("doc_id")
 
 
 def _messy_urls(spark, sf_dir):
