@@ -165,34 +165,48 @@ def probe_near_dups(
 
     keys_new = keyed(sigs_new, "new_url")
     keys_store = keyed(store, "url")
-    cand_old = (
+    old_rows = (
         keys_store.join(F.broadcast(keys_new), ["src", "key"])
         .where(F.col("url") != F.col("new_url"))
-        .groupBy("new_url", F.col("url").alias("other_url"))
-        .agg(F.collect_set("src").alias("sources"))
+        .select(
+            "new_url",
+            F.col("url").alias("other_url"),
+            "src",
+            F.lit(False).alias("is_new_other"),
+        )
     )
     k2 = keys_new.withColumnRenamed("new_url", "other_url")
-    cand_new = (
+    new_rows = (
         keys_new.join(k2, ["src", "key"])
         .where(F.col("new_url") < F.col("other_url"))
-        .groupBy("new_url", "other_url")
+        .select("new_url", "other_url", "src", F.lit(True).alias("is_new_other"))
+    )
+    # ONE grouped candidate table for both sides: a (new, store) pair and
+    # a (new, new) pair can never collide on (new_url, other_url) — batch
+    # urls are excluded from the store above — so grouping the tagged
+    # union is identical to grouping per side, and it halves both the
+    # groupBy jobs and the plan-truncation compile cost (each lazy
+    # localCheckpoint compiles a full physical plan; measured 0.46 s per
+    # compile on this host's warm JVM, dominating the probe's build span).
+    cand_all = (
+        old_rows.unionByName(new_rows)
+        .groupBy("new_url", "other_url", "is_new_other")
         .agg(F.collect_set("src").alias("sources"))
     )
     if persist:
-        # both candidate tables are re-read by the degree guard, the pair
-        # union AND the profile fetch — truncate them too (they are tiny:
+        # the candidate table is re-read by the degree guard, the pair
+        # union AND the profile fetch — truncate it too (it is tiny:
         # bounded by batch size × max_matches_per_doc)
-        cand_old = cand_old.localCheckpoint(eager=False)
-        caches.append(cand_old)
-        cand_new = cand_new.localCheckpoint(eager=False)
-        caches.append(cand_new)
+        cand_all = cand_all.localCheckpoint(eager=False)
+        caches.append(cand_all)
+    cand_old = cand_all.where(~F.col("is_new_other")).drop("is_new_other")
+    cand_new = cand_all.where(F.col("is_new_other")).drop("is_new_other")
 
     # boilerplate guard: candidate DEGREE per batch doc across both
     # sides (a within-batch pair counts toward both endpoints) via a
     # map-side-combinable groupBy — no window anywhere
     degree = (
-        cand_old.select("new_url")
-        .unionAll(cand_new.select("new_url"))
+        cand_all.select("new_url")
         .unionAll(cand_new.select(F.col("other_url").alias("new_url")))
         .groupBy("new_url")
         .agg(F.count(F.lit(1)).alias("n_matches"))
