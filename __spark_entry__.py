@@ -828,7 +828,15 @@ def q_suffix_array_pair_spans(spark, sf_dir):
         (F.col("doc_id") % 1_000_000).alias("family"),
     )
     return (
-        suffix_array_pairs(d, F.col("family"), min_len=cfg.substring_min_len)
+        suffix_array_pairs(
+            d,
+            F.col("family"),
+            min_len=cfg.substring_min_len,
+            # planted-family group counts are benchmark-corpus-sized at
+            # every sf; one wave of cores beats the session-width pandas
+            # dispatch (operator docstring, measured 2.75 -> 0.96 s)
+            n_partitions=spark.sparkContext.defaultParallelism,
+        )
         .select("url_a", "url_b", F.col("lcs_len").cast("bigint").alias("lcs_len"))
         .transform(_presort)
         .orderBy("url_a", "url_b")

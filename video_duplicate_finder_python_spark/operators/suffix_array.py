@@ -346,10 +346,22 @@ def _pairs_frames(
     max_docs_per_group: int,
     max_block_docs: int,
     max_chars_per_group: int,
+    n_partitions: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     capped, dropped = _capped_group_docs(
         docs, group_col, max_docs_per_group, max_chars_per_group
     )
+    if n_partitions is not None:
+        # explicit keyed repartition replacing the implicit conf-width
+        # grouping exchange: the singleton exclusion above means the
+        # pairable group set can be orders of magnitude smaller than the
+        # input, and the per-group pandas walk pays a fixed Arrow/worker
+        # dispatch per non-empty partition — measured 2.75 s at the
+        # session width vs 0.96 s at defaultParallelism on the sf0.1
+        # planted families (r7). The groupBy reuses this partitioning, so
+        # no second exchange is inserted. None (the pipeline default)
+        # keeps the session-width shape for corpus-scale group counts.
+        capped = capped.repartition(n_partitions, "_grp")
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("url")
@@ -376,6 +388,7 @@ def suffix_array_pairs(
     max_docs_per_group: int = 4096,
     max_block_docs: int = 32,
     max_chars_per_group: int = 8_000_000,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """``docs(url, text, ...)`` grouped by ``group_col`` →
     ``(url_a, url_b, lcs_len)``: every intra-group pair with a verbatim
@@ -392,7 +405,7 @@ def suffix_array_pairs(
     characters (see ``_capped_group_docs``)."""
     pairs, _ = _pairs_frames(
         docs, group_col, min_len, max_docs_per_group, max_block_docs,
-        max_chars_per_group,
+        max_chars_per_group, n_partitions,
     )
     return pairs
 
