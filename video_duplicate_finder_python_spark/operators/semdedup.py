@@ -76,6 +76,41 @@ def assign_cells(embeddings: DataFrame, cents: np.ndarray) -> DataFrame:
     ).drop("_a")
 
 
+def _cell_pair_edges(cells: DataFrame, eps: float):
+    """Per-cell all-pairs cosine: ONE BLAS gemm per cell instead of a
+    pair-exploded kernel. The pair fan-out ships both embeddings per pair
+    (2×64 float64 ≈ 1 KB × pairs — 3 GB through Arrow for 3.1M pairs at
+    sf1.0, measured 14.1 s); grouping by cell ships each embedding ONCE
+    (10 MB for the same input) and scores the cell with m @ m.T — the
+    optimization guide's §8 rule (move heavy bytes once, decide with
+    dense math). Only called for cells whose size is within
+    ``max_cell_compare``, so the per-task matrix is bounded by
+    cap² × 8 B (8 MB at the 1024 default); over-cap cells take the
+    capped/salted bucket path instead. Emits exactly the edges the
+    pair kernel emits for those cells: every vid_a < vid_b with
+    cosine >= 1 - eps (gemm dot order can differ from the per-pair
+    kernels in the last ulps — same documented boundary caveat as
+    arrow-vs-jvm)."""
+    thr = 1.0 - eps
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"u": pd.Series(dtype=object), "v": pd.Series(dtype=object)})
+        pdf = pdf.sort_values("vid")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        norms[norms == 0.0] = 1.0
+        sims = (m @ m.T) / np.outer(norms, norms)
+        iu = np.triu_indices(len(pdf), k=1)
+        keep = sims[iu[0], iu[1]] >= thr
+        vids = pdf["vid"].to_numpy()
+        return pd.DataFrame({"u": vids[iu[0][keep]], "v": vids[iu[1][keep]]})
+
+    return cells.select("centroid_id", "vid", "embedding").groupBy(
+        "centroid_id"
+    ).applyInPandas(per_cell, schema="u string, v string")
+
+
 def _arrow_cosine_udf():
     """Batched NumPy pair cosine: one einsum per Arrow batch. ~2× the JVM
     fold at dim 64 (measured 9.6 → 4.9 s on 3M pairs at local[4]) and
@@ -104,7 +139,7 @@ def semdedup(
     max_cell_compare: int = 1024,
     salt_threshold: int | None = 65536,
     persist: bool = False,
-    pair_kernel: str = "arrow",
+    pair_kernel: str = "cell",
 ) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
     """→ ``(members, dropped, cached)``.
 
@@ -115,16 +150,26 @@ def semdedup(
     ``dropped`` counts cell members beyond ``max_cell_compare`` (cap
     metric); ``cached`` are caller-owned persisted handles.
 
-    ``pair_kernel``: "arrow" (default since r7 — the r6 scaling pairing
-    measured the JVM fold as the operator's bandwidth-bound bottleneck,
-    BENCH/SEMDEDUP_SCALING_R6.md) scores pairs with the batched einsum
-    kernel (~2× faster, better multi-core scaling); "jvm" keeps the
-    sequential ``aggregate`` fold — bit-exact against the NumPy twin and
-    any left-fold oracle, and the equivalence twin the tests pin
-    (last-ulp score differences between the two — see _arrow_cosine_udf).
+    ``pair_kernel``:
+    - "cell" (default, late r7): cells within ``max_cell_compare`` are
+      scored with ONE BLAS gemm per cell (`_cell_pair_edges` — each
+      embedding crosses the boundary once instead of once per pair;
+      measured 14.1 s → ~1 s for the 3.1M-pair edge pass at sf1.0);
+      over-cap cells keep the exact capped/salted bucket path below,
+      scored with the arrow pair kernel, so the skew contract is
+      byte-identical where it matters.
+    - "arrow" (default earlier in r7 — the r6 scaling pairing measured
+      the JVM fold as the operator's bandwidth-bound bottleneck,
+      BENCH/SEMDEDUP_SCALING_R6.md): batched einsum over exploded pairs.
+    - "jvm": the sequential ``aggregate`` fold — bit-exact against the
+      NumPy twin and any left-fold oracle, and the equivalence twin the
+      tests pin (last-ulp score differences between all three kernels —
+      see _arrow_cosine_udf / _cell_pair_edges).
     """
-    if pair_kernel not in ("jvm", "arrow"):
-        raise ValueError(f"pair_kernel must be 'jvm' or 'arrow', got {pair_kernel!r}")
+    if pair_kernel not in ("jvm", "arrow", "cell"):
+        raise ValueError(
+            f"pair_kernel must be 'jvm', 'arrow' or 'cell', got {pair_kernel!r}"
+        )
     assigned = assign_cells(embeddings, cents).select(
         # zero-padded string id: bucket_pairs orders by it and CC min()s
         # it lexicographically — padding makes both match numeric order.
@@ -143,24 +188,44 @@ def semdedup(
     # once and truncates its subtree out of every downstream plan (the
     # same plan-diamond rule as the probe, incremental_probe.py docstring)
     cached0: list[DataFrame] = [assigned]
-    cand, dropped, cached = bucket_pairs(
-        assigned,
-        key_cols=["centroid_id"],
-        id_col="vid",
-        carry_cols=["embedding", "cent_sim"],
-        max_bucket_size=max_cell_compare,
-        persist=persist,
-        salt_threshold=salt_threshold,
-    )
-    if pair_kernel == "arrow":
-        cos = _arrow_cosine_udf()(F.col("embedding_a"), F.col("embedding_b"))
+
+    def bucketed_edges(df: DataFrame, kernel: str):
+        cand, dropped, cached = bucket_pairs(
+            df,
+            key_cols=["centroid_id"],
+            id_col="vid",
+            carry_cols=["embedding", "cent_sim"],
+            max_bucket_size=max_cell_compare,
+            persist=persist,
+            salt_threshold=salt_threshold,
+        )
+        if kernel == "arrow":
+            cos = _arrow_cosine_udf()(F.col("embedding_a"), F.col("embedding_b"))
+        else:
+            cos = cosine_col(F.col("embedding_a"), F.col("embedding_b"))
+        e = (
+            cand.withColumn("cos", cos)
+            .where(F.col("cos") >= F.lit(1.0 - eps))
+            .select(F.col("url_a").alias("u"), F.col("url_b").alias("v"))
+        )
+        return e, dropped, cached
+
+    if pair_kernel == "cell":
+        # route by cell size: within-cap cells take the per-cell gemm (no
+        # pair explosion, no cap drops by definition); over-cap cells —
+        # the skew class the cap/salt machinery exists for — take the
+        # bucket path unchanged. Cell count is bounded by len(cents), so
+        # the over-cap key set is a tiny broadcast.
+        sizes = assigned.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        big_keys = sizes.where(F.col("_n") > max_cell_compare).select("centroid_id")
+        small = assigned.join(F.broadcast(big_keys), "centroid_id", "left_anti")
+        big = assigned.join(F.broadcast(big_keys), "centroid_id", "left_semi")
+        big_edges, dropped, cached = bucketed_edges(big, "arrow")
+        edges = _cell_pair_edges(small, eps).unionByName(big_edges)
     else:
-        cos = cosine_col(F.col("embedding_a"), F.col("embedding_b"))
-    edges = (
-        cand.withColumn("cos", cos)
-        .where(F.col("cos") >= F.lit(1.0 - eps))
-        .select(F.col("url_a").alias("u"), F.col("url_b").alias("v"))
-    )
+        edges, dropped, cached = bucketed_edges(assigned, pair_kernel)
     clusters = connected_components(edges)  # (url, cluster_id)
 
     members = clusters.join(

@@ -53,7 +53,11 @@ def weighted_jaccard_pairs(
     any engine computing the same integers (the DuckDB oracle relies on
     this, like verify.py's set-Jaccard does).
     """
-    tc = token_counts(docs, id_col, text_col)
+    # the token-count table feeds three consumers (totals + both join
+    # sides); the lazy checkpoint computes the explode+groupBy once and
+    # truncates its subtree out of every downstream plan (r7, same rule
+    # as the probe/verify plan-diamond fix)
+    tc = token_counts(docs, id_col, text_col).localCheckpoint(eager=False)
     totals = tc.groupBy("_id").agg(F.sum("cnt").alias("tot"))
 
     a_counts = tc.select(
