@@ -339,23 +339,52 @@ def main() -> None:
         media_plan,
     )
 
-    # 10. semdedup (round 6): one Arrow-batched assignment UDF; the pair
-    #     cosine is a JVM fold (no BatchEvalPython = no row-at-a-time UDF)
+    # 10. semdedup (r7 shape): the assignment is one Arrow-batched UDF
+    #     (behind the lazy-checkpoint boundary, so asserted on the
+    #     assign_cells plan directly); the default pair kernel is the
+    #     per-cell gemm (FlatMapGroupsInPandas over the cell groups);
+    #     nowhere a row-at-a-time BatchEvalPython
     import numpy as np
 
-    from video_duplicate_finder_python_spark.operators.semdedup import semdedup
+    from video_duplicate_finder_python_spark.operators.semdedup import (
+        assign_cells,
+        semdedup,
+    )
 
     emb_df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     rng_cents = np.random.default_rng(0).standard_normal((4, 64))
-    sem_plan = (
-        semdedup(emb_df, rng_cents, salt_threshold=None)[0]
+    assign_plan = (
+        assign_cells(emb_df, rng_cents)
         ._jdf.queryExecution().executedPlan().toString()
     )
     check(
-        "semdedup: assignment is the only Python (ArrowEvalPython), pair "
-        "cosine is a JVM fold",
-        "ArrowEvalPython" in sem_plan and "BatchEvalPython" not in sem_plan,
-        sem_plan,
+        "semdedup: cell assignment is one Arrow-batched UDF "
+        "(ArrowEvalPython, no BatchEvalPython)",
+        "ArrowEvalPython" in assign_plan and "BatchEvalPython" not in assign_plan,
+        assign_plan,
+    )
+    # the edge pass is consumed inside connected_components (driver
+    # finish at this size), so assert the kernel on the edges subplan
+    # the default path builds, not on the final members plan
+    from video_duplicate_finder_python_spark.operators.semdedup import (
+        _cell_pair_edges,
+    )
+
+    cells_df = assign_cells(emb_df, rng_cents).select(
+        F.lpad(F.col("vec_id").cast("string"), 20, "0").alias("vid"),
+        "embedding",
+        "centroid_id",
+    )
+    edge_plan = (
+        _cell_pair_edges(cells_df, eps=0.05)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "semdedup: default pair kernel is the per-cell gemm "
+        "(FlatMapGroupsInPandas), no row-at-a-time BatchEvalPython",
+        "FlatMapGroupsInPandas" in edge_plan
+        and "BatchEvalPython" not in edge_plan,
+        edge_plan,
     )
 
     print()
