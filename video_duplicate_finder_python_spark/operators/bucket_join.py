@@ -166,17 +166,35 @@ def bucket_pairs(
         if persist:
             df = df.persist(StorageLevel.MEMORY_AND_DISK)
             caches.append(df)
-        # row count FIRST (one shuffle-free pass that doubles as the
-        # cache-materializing job), then size every keyed operation from
-        # it: when the input is far below the session width, ONE narrow
-        # keyed repartition is inserted and the sizes aggregate, the
-        # ranking window AND the pair self-join all reuse its partitioning
-        # — zero further exchanges (vs the previous shape's three
-        # session-wide ones; the M×R block matrix is the measured fixed
-        # cost, see bucket_rows_bound above). Callers that CAN bound their
-        # input statically skip even the count via bucket_rows_bound; a
-        # full-width input leaves the plan exactly as before.
-        n_rows = df.count()
+        # ONE eager statistics job (the r6 single-pass shape, kept): the
+        # sizes aggregate — whose first job also materializes the cache —
+        # yields the hot-key set AND the total row count in the same
+        # action (sum of per-key counts == rows; collect_list of the
+        # over-threshold keys is pigeonhole-bounded by rows/threshold and
+        # truncated at max_collected_hot+1). The total then derives the
+        # width for the ranking window / pair self-join: a small input
+        # gets one narrow keyed repartition both reuse (the M×R
+        # shuffle-block matrix is the measured fixed cost, see
+        # bucket_rows_bound above); a full-width input keeps the exact
+        # prior plan. An earlier r7 shape ran a SEPARATE df.count()
+        # before the sizes pass — one whole extra pass over the banded
+        # cache (~10 s at 18.7M rows / local[4]) that the 300k HEAD
+        # pairing exposed as the candidates stage's scaling drag.
+        sizes = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bsz"))
+        stats = sizes.select(
+            F.sum("_bsz").alias("_n"),
+            F.slice(
+                F.collect_list(
+                    F.when(
+                        F.col("_bsz") > salt_threshold, F.struct(*key_cols)
+                    )
+                ),
+                1,
+                max_collected_hot + 1,
+            ).alias("_hot"),
+        ).first()
+        n_rows = int(stats["_n"] or 0)
+        hot_rows = list(stats["_hot"] or [])
         try:
             ceiling = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         except (TypeError, ValueError):
@@ -184,9 +202,7 @@ def bucket_pairs(
         width = min(ceiling, n_rows // 50_000 + 1)
         if width < ceiling:
             df = df.repartition(width, *key_cols)
-        sizes = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bsz"))
         hot_keys = sizes.where(F.col("_bsz") > salt_threshold).select(*key_cols)
-        hot_rows = hot_keys.limit(max_collected_hot + 1).collect()
         if not hot_rows:
             ranked = rank_unsalted(df, max_bucket_size)
         else:
